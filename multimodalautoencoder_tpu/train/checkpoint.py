@@ -1,0 +1,160 @@
+"""Checkpoint/resume with a hyperparameter side-car.
+
+Mirrors the reference contract (multimodal_autoencoder.py:766-896): a
+checkpoint stores the trained weights plus an ``.npz``-style side-car with
+the loss curves and 7 hyperparameters; loading diffs saved-vs-current
+hyperparameters, warns, and overrides with the saved values (the saved model
+wins, since the weights were trained under those settings).
+
+Storage is a single ``.npz`` holding the flattened parameter pytree (leaf
+order from ``jax.tree_util.tree_flatten``) plus a JSON metadata blob —
+host-portable, no TF Saver.  Checkpoint names carry the trained-step count
+like the reference (``<name>-<steps>``, :787-791).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+
+# The 7 hyperparameters the reference persists (:792-801).
+SIDECAR_FIELDS = ("layer_sizes", "variational", "dropout_prob",
+                  "weight_penalty", "activation", "loss",
+                  "weight_initialization")
+# reference name -> our config field
+_REF_ALIASES = {"activation_func": "activation", "loss_func": "loss"}
+
+
+def save_checkpoint(directory: str, model_name: str, params,
+                    cfg: MMAEConfig, curves: Optional[dict] = None,
+                    step: Optional[int] = None,
+                    tcfg: Optional[TrainConfig] = None) -> str:
+    """Save params + hyperparam/curve side-car.  Returns the file path.
+
+    ``step`` defaults to ``len(train_loss) * record_every_nth``, matching
+    the reference's "training_epochs" naming (:787-788).
+    """
+    os.makedirs(directory, exist_ok=True)
+    curves = curves or {}
+    if step is None:
+        record = tcfg.record_every_nth if tcfg else 50
+        step = len(np.asarray(curves.get("train_loss", []))) * record
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    payload = {f"param_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    for name, arr in curves.items():
+        payload[f"curve_{name}"] = np.asarray(arr)
+
+    meta = {
+        "num_leaves": len(leaves),
+        "treedef": str(treedef),
+        "step": int(step),
+        "config": {f.name: getattr(cfg, f.name)
+                   for f in dataclasses.fields(cfg)},
+        "curve_names": sorted(curves.keys()),
+    }
+    payload["meta_json"] = np.frombuffer(
+        json.dumps(meta, default=_json_default).encode(), dtype=np.uint8)
+
+    path = os.path.join(directory, f"{model_name}-{step}.npz")
+    np.savez(path, **payload)
+    return path
+
+
+def _json_default(o):
+    if isinstance(o, (tuple, set)):
+        return list(o)
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def latest_checkpoint(directory: str,
+                      model_name: Optional[str] = None) -> Optional[str]:
+    """Highest-step checkpoint in ``directory`` — the analog of
+    ``tf.train.latest_checkpoint`` (:823)."""
+    if not os.path.isdir(directory):
+        return None
+    pat = re.compile(r"^(.*)-(\d+)\.npz$")
+    best, best_step = None, -1
+    for fn in os.listdir(directory):
+        m = pat.match(fn)
+        if not m:
+            continue
+        if model_name is not None and m.group(1) != model_name:
+            continue
+        if int(m.group(2)) > best_step:
+            best, best_step = fn, int(m.group(2))
+    return os.path.join(directory, best) if best else None
+
+
+def load_checkpoint(path: str, template_params, cfg: MMAEConfig,
+                    verbose: bool = True
+                    ) -> Tuple[object, MMAEConfig, dict, int]:
+    """Load (params, resolved_cfg, curves, step) from a checkpoint.
+
+    Like the reference (:840-853), any persisted hyperparameter that differs
+    from ``cfg`` is reported and the *saved* value wins, so the returned
+    config matches the stored weights.  ``template_params`` supplies the
+    pytree structure (build via ``mmae.init`` with the returned config if
+    structure differs — see :func:`load_checkpoint_auto`).
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode())
+        leaves = [data[f"param_{i}"] for i in range(meta["num_leaves"])]
+        curves = {name: data[f"curve_{name}"]
+                  for name in meta.get("curve_names", [])}
+
+    saved_cfg_dict = meta["config"]
+    resolved = cfg
+    for name in SIDECAR_FIELDS:
+        saved = saved_cfg_dict.get(name)
+        if isinstance(saved, list):
+            saved = tuple(tuple(s) if isinstance(s, list) else s
+                          for s in saved)
+        current = getattr(cfg, name)
+        if saved is not None and saved != current:
+            if verbose:
+                print(f"WARNING! Saved setting for {name} is different! "
+                      f"current={current!r} saved={saved!r}; "
+                      f"overwriting with saved value.")
+            resolved = resolved.replace(**{name: saved})
+
+    treedef = jax.tree_util.tree_structure(template_params)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves but template has "
+            f"{treedef.num_leaves}; rebuild the template with the resolved "
+            f"config (resolved={resolved})")
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, resolved, curves, meta["step"]
+
+
+def load_checkpoint_auto(path: str, cfg: MMAEConfig, verbose: bool = True):
+    """Load a checkpoint, rebuilding the parameter template from the
+    *saved* hyperparameters (the reference rebuilds its whole graph from
+    them, :855-859)."""
+    from multimodalautoencoder_tpu.models import mmae
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode())
+    saved = dict(meta["config"])
+    for k, v in list(saved.items()):
+        if isinstance(v, list):
+            saved[k] = tuple(tuple(x) if isinstance(x, list) else x
+                             for x in v)
+    resolved = dataclasses.replace(cfg, **{
+        k: v for k, v in saved.items()
+        if k in {f.name for f in dataclasses.fields(cfg)}}).validate()
+    template = mmae.init(jax.random.PRNGKey(0), resolved)
+    return load_checkpoint(path, template, resolved, verbose=verbose)
