@@ -180,6 +180,12 @@ class DataLoader:
         val_X, val_Y = self._matrices(val_df, None)
         return train_X, train_Y, val_X, val_Y
 
+    def get_cross_val_noisy_flags_for_fold(self, fold: int) -> np.ndarray:
+        """Boolean logistics_noisy flags for fold ``fold``'s val rows, in
+        the same row order as get_cross_val_data_for_fold's val matrices."""
+        val_df = self.df[self.df["logistics_cv_fold"] == fold]
+        return val_df["logistics_noisy"].to_numpy(dtype=bool)
+
     def set_to_cross_validation_fold(self, fold: int) -> None:
         self.fold = fold
         (self.train_X, self.train_Y,

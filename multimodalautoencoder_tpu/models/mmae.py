@@ -208,7 +208,7 @@ def decode(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
 
 def classify(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
              rng: Optional[Array] = None, keep_prob=1.0,
-             train: bool = False) -> Array:
+             train: bool = False, act_id: Optional[Array] = None) -> Array:
     """Classification head forward (:520-540) -> logits.
 
     Faithful mode reproduces the reference's gate bug: activation/dropout is
@@ -223,7 +223,7 @@ def classify(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
         gate = (i < n_dec - 1) if cfg.faithful_classify_gate \
             else (i < len(params.cls_w) - 1)
         if gate:
-            x = _activate(x, act, None)
+            x = _activate(x, act, act_id)
             if train:
                 x = _dropout(jax.random.fold_in(rng, 200 + i), x, keep_prob)
     return x
@@ -292,26 +292,36 @@ def total_loss(params: MMAEParams, cfg: MMAEConfig, noisy_x: Array,
 def classification_total_loss(params: MMAEParams, cfg: MMAEConfig,
                               noisy_x: Array, true_y: Array, *,
                               rng: Optional[Array] = None, keep_prob=1.0,
-                              train: bool = False, sample: bool = True):
+                              train: bool = False, sample: bool = True,
+                              weight_penalty=None,
+                              enc_act_id: Optional[Array] = None,
+                              cls_act_id: Optional[Array] = None):
     """Phase-2 objective (:431-441): classification loss on the embedding
     (+ L2 on classification weights only).  Gradients flow through the
     encoder, as in the reference where ``minimize`` spans all upstream
-    variables (:443)."""
+    variables (:443).
+
+    ``weight_penalty`` / ``enc_act_id`` / ``cls_act_id`` may be traced
+    per-config scalars (vmapped two-phase sweeps).
+    """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k_drop, k_eps = jax.random.split(rng)
     mu, log_var = encode(params, cfg, noisy_x, rng=k_drop,
-                         keep_prob=keep_prob, train=train)
+                         keep_prob=keep_prob, train=train,
+                         act_id=enc_act_id)
     embedding = mu
     if cfg.variational and sample:
         eps = jax.random.normal(k_eps, mu.shape, mu.dtype)
         embedding = mu + eps * jnp.exp(log_var)
     logits = classify(params, cfg, embedding, rng=k_drop,
-                      keep_prob=keep_prob, train=train)
+                      keep_prob=keep_prob, train=train, act_id=cls_act_id)
     loss = losses_lib.classification_loss(cfg.classification_loss, logits,
                                           true_y)
-    loss = loss + losses_lib.weight_regularization(
-        cfg.classification_weight_penalty, list(params.cls_w))
+    penalty = cfg.classification_weight_penalty if weight_penalty is None \
+        else weight_penalty
+    loss = loss + losses_lib.weight_regularization(penalty,
+                                                   list(params.cls_w))
     preds = losses_lib.classification_predictions(cfg.classification_loss,
                                                   logits)
     aux = {"logits": logits, "predictions": preds, "embedding": embedding}

@@ -1,0 +1,107 @@
+"""Device-side classification metric battery.
+
+The reference computes acc/AUC/F1/precision/recall via sklearn on the host
+(generic_wrapper.py:591-604), degrading to NaN on error (:563-577 — e.g.
+AUC with a single class present).  These are jnp implementations usable
+inside jit/vmap so a whole sweep's metrics never leave the device; each
+matches sklearn on binary inputs (verified in tests) and reproduces the
+NaN degradation semantics.
+
+All functions accept an optional boolean ``valid`` row mask so padded
+fold-stacked batches (ragged CV folds padded to a common length) compute
+metrics over real rows only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _mask(valid: Optional[Array], n: int) -> Array:
+    if valid is None:
+        return jnp.ones((n,), jnp.float32)
+    return valid.astype(jnp.float32)
+
+
+def binary_accuracy(preds: Array, true_y: Array,
+                    valid: Optional[Array] = None) -> Array:
+    """Fraction of exact matches (generic_wrapper.py:579-589)."""
+    m = _mask(valid, preds.shape[0])
+    hit = (preds.astype(jnp.float32) == true_y.astype(jnp.float32))
+    return jnp.sum(hit.astype(jnp.float32) * m) / jnp.maximum(jnp.sum(m), 1)
+
+
+def roc_auc(scores: Array, true_y: Array,
+            valid: Optional[Array] = None) -> Array:
+    """Rank-based (Mann-Whitney) AUC; ties get half credit — equal to
+    sklearn.roc_auc_score including on hard 0/1 predictions (the reference
+    feeds hard predictions, :600).  NaN when only one class is present,
+    matching the sklearn-error -> NaN degradation (:563-577)."""
+    m = _mask(valid, scores.shape[0])
+    y = (true_y > 0.5).astype(jnp.float32) * m
+    pos = y
+    neg = (1.0 - (true_y > 0.5).astype(jnp.float32)) * m
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.sum(neg)
+    s = scores.astype(jnp.float32)
+    # pairwise comparisons; O(n^2) but n is a val fold (hundreds) and it
+    # vectorizes onto the VPU. greater=1, tie=0.5
+    diff = s[:, None] - s[None, :]
+    gt = (diff > 0).astype(jnp.float32) + 0.5 * (diff == 0).astype(jnp.float32)
+    wins = jnp.sum(gt * pos[:, None] * neg[None, :])
+    auc = wins / jnp.maximum(n_pos * n_neg, 1)
+    return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)
+
+
+def precision(preds: Array, true_y: Array,
+              valid: Optional[Array] = None) -> Array:
+    m = _mask(valid, preds.shape[0])
+    p = (preds > 0.5).astype(jnp.float32) * m
+    y = (true_y > 0.5).astype(jnp.float32)
+    tp = jnp.sum(p * y)
+    pp = jnp.sum(p)
+    # sklearn returns 0.0 (with a warning) when no positive predictions
+    return jnp.where(pp > 0, tp / jnp.maximum(pp, 1), 0.0)
+
+
+def recall(preds: Array, true_y: Array,
+           valid: Optional[Array] = None) -> Array:
+    m = _mask(valid, preds.shape[0])
+    p = (preds > 0.5).astype(jnp.float32)
+    y = (true_y > 0.5).astype(jnp.float32) * m
+    tp = jnp.sum(p * y)
+    ap = jnp.sum(y)
+    return jnp.where(ap > 0, tp / jnp.maximum(ap, 1), 0.0)
+
+
+def f1(preds: Array, true_y: Array, valid: Optional[Array] = None) -> Array:
+    pr = precision(preds, true_y, valid)
+    rc = recall(preds, true_y, valid)
+    return jnp.where(pr + rc > 0, 2 * pr * rc / jnp.maximum(pr + rc, 1e-20),
+                     0.0)
+
+
+def all_classification_metrics(preds: Array, true_y: Array,
+                               valid: Optional[Array] = None) -> dict:
+    """acc/auc/f1/precision/recall, the reference battery
+    (generic_wrapper.py:591-604)."""
+    return {
+        "acc": binary_accuracy(preds, true_y, valid),
+        "auc": roc_auc(preds, true_y, valid),
+        "f1": f1(preds, true_y, valid),
+        "precision": precision(preds, true_y, valid),
+        "recall": recall(preds, true_y, valid),
+    }
+
+
+def majority_baseline(y: Array, valid: Optional[Array] = None) -> Array:
+    """Most-frequent-class rate (generic_wrapper.py:549-561)."""
+    m = _mask(valid, y.shape[0])
+    frac = jnp.sum((y > 0.5).astype(jnp.float32) * m) / jnp.maximum(
+        jnp.sum(m), 1)
+    return jnp.maximum(frac, 1.0 - frac)

@@ -1,0 +1,464 @@
+"""Config-parallel grid training: the TPU replacement for the reference's
+serial sweep loop.
+
+The reference trains one (setting, fold) at a time — a Python triple loop
+over settings x folds x 15000 ``session.run`` calls, rebuilding the TF
+graph for every cell (generic_wrapper.py:253-254, :298-300;
+multimodal_autoencoder.py:232-237).  Here a whole *shape bucket* of the
+grid trains as ONE jitted computation:
+
+- per-config hyperparameters (lr, keep_prob, weight_penalty, act_id) are
+  stacked into arrays (:class:`HyperStack`) and traced — the model/optim
+  stack accepts them as traced scalars;
+- ragged CV folds are padded into a :class:`FoldedData` stack with
+  row-validity counts; batch sampling draws indices in [0, n_valid);
+- training instances = configs x folds, vmapped on both axes;
+- the instance axis is sharded over the device mesh
+  (:mod:`.mesh`); instances are independent so the hot loop has zero
+  collectives and scales linearly over ICI.
+
+The per-instance objective matches the reference sweep's
+``get_performance_on_data_with_noise(val_X)`` (multimodal_autoencoder.py
+:1019-1033, used at autoencoder_wrapper.py:198): fresh corruption of the
+full fold-val set, report-scaled reconstruction loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+from multimodalautoencoder_tpu.models import mmae
+from multimodalautoencoder_tpu.models import losses as losses_lib
+from multimodalautoencoder_tpu.models.corruption import (NoiseSpec,
+                                                         add_noise_to_batch)
+from multimodalautoencoder_tpu.ops import masking, optim
+from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperStack:
+    """Stacked traced hyperparameters, one row per config in a bucket."""
+
+    lr: Array               # (C,) f32
+    keep_prob: Array        # (C,) f32
+    weight_penalty: Array   # (C,) f32
+    act_id: Array           # (C,) i32
+
+    @classmethod
+    def from_settings(cls, settings: Sequence[Dict[str, Any]],
+                      cfg: MMAEConfig, tcfg: TrainConfig) -> "HyperStack":
+        """Build from sweep setting dicts, falling back to cfg/tcfg
+        defaults.  Recognized keys: learning_rate, dropout_prob,
+        weight_penalty, activation/activation_func/activation_function.
+        Sweeps with prefixed columns (e.g. ``mmae_dropout_prob`` in the
+        two-phase classification grid) must remap before calling — mixed
+        prefixes in one dict would be ambiguous."""
+        def pick(s, names, default):
+            for n in names:
+                if n in s:
+                    return s[n]
+            return default
+
+        lr, kp, wp, act = [], [], [], []
+        for s in settings:
+            lr.append(float(s.get("learning_rate", tcfg.learning_rate)))
+            kp.append(float(s.get("dropout_prob", cfg.dropout_prob)))
+            wp.append(float(s.get("weight_penalty", cfg.weight_penalty)))
+            act.append(mmae.activation_id(pick(
+                s, ("activation_function", "activation_func", "activation"),
+                cfg.activation)))
+        return cls(lr=jnp.asarray(lr, jnp.float32),
+                   keep_prob=jnp.asarray(kp, jnp.float32),
+                   weight_penalty=jnp.asarray(wp, jnp.float32),
+                   act_id=jnp.asarray(act, jnp.int32))
+
+    @property
+    def num_configs(self) -> int:
+        return int(self.lr.shape[0])
+
+    def pad_to(self, n: int) -> "HyperStack":
+        c = self.num_configs
+        if n == c:
+            return self
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (n - c,) + a.shape[1:])])
+        return HyperStack(pad(self.lr), pad(self.keep_prob),
+                          pad(self.weight_penalty), pad(self.act_id))
+
+
+jax.tree_util.register_dataclass(
+    HyperStack, data_fields=["lr", "keep_prob", "weight_penalty", "act_id"],
+    meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class FoldedData:
+    """CV folds padded to common shapes with valid-row counts.
+
+    Fold f's train set is all non-Test rows outside fold f; its val set is
+    fold f (data_funcs.py:278-308).  Folds are ragged, so arrays are padded
+    to the max fold size and ``*_n`` carries the true row counts.
+    """
+
+    train_x: Array   # (K, max_train, F)
+    train_n: Array   # (K,) i32
+    val_x: Array     # (K, max_val, F)
+    val_n: Array     # (K,) i32
+    train_y: Optional[Array] = None   # (K, max_train, L) or (K, max_train)
+    val_y: Optional[Array] = None
+    val_noisy: Optional[Array] = None  # (K, max_val) bool: logistics_noisy
+
+    @property
+    def num_folds(self) -> int:
+        return int(self.train_x.shape[0])
+
+    @classmethod
+    def from_loader(cls, loader, num_folds: int,
+                    supervised: bool = False,
+                    noisy_flags: bool = False,
+                    dtype=jnp.float32) -> "FoldedData":
+        """Materialize all folds from a cross-validation DataLoader."""
+        tx, vx, ty, vy, vn = [], [], [], [], []
+        for f in range(num_folds):
+            a, ay, b, by = loader.get_cross_val_data_for_fold(f)
+            tx.append(a)
+            vx.append(b)
+            if supervised:
+                ty.append(ay)
+                vy.append(by)
+            if noisy_flags:
+                vn.append(loader.get_cross_val_noisy_flags_for_fold(f))
+        return cls.from_ragged(tx, vx, ty if supervised else None,
+                               vy if supervised else None, dtype,
+                               val_noisy_list=vn if noisy_flags else None)
+
+    @classmethod
+    def from_single_split(cls, train_x, val_x, train_y=None, val_y=None,
+                          dtype=jnp.float32) -> "FoldedData":
+        """Non-CV case: one 'fold' = the fixed Train/Val split."""
+        return cls.from_ragged([train_x], [val_x],
+                               None if train_y is None else [train_y],
+                               None if val_y is None else [val_y], dtype)
+
+    @classmethod
+    def from_ragged(cls, train_list, val_list, train_y_list=None,
+                    val_y_list=None, dtype=jnp.float32,
+                    val_noisy_list=None) -> "FoldedData":
+        def pad_stack(mats, dt):
+            mx = max(m.shape[0] for m in mats)
+            out = np.zeros((len(mats), mx) + mats[0].shape[1:],
+                           dtype=np.float32)
+            for i, m in enumerate(mats):
+                out[i, :m.shape[0]] = m
+            return jnp.asarray(out, dt)
+
+        return cls(
+            train_x=pad_stack(train_list, dtype),
+            train_n=jnp.asarray([m.shape[0] for m in train_list],
+                                jnp.int32),
+            val_x=pad_stack(val_list, dtype),
+            val_n=jnp.asarray([m.shape[0] for m in val_list], jnp.int32),
+            train_y=(None if not train_y_list
+                     else pad_stack([np.asarray(y) for y in train_y_list],
+                                    jnp.float32)),
+            val_y=(None if not val_y_list
+                   else pad_stack([np.asarray(y) for y in val_y_list],
+                                  jnp.float32)),
+            val_noisy=(None if not val_noisy_list
+                       else pad_stack([np.asarray(v, dtype=np.float32)
+                                       for v in val_noisy_list],
+                                      jnp.bool_)),
+        )
+
+
+jax.tree_util.register_dataclass(
+    FoldedData,
+    data_fields=["train_x", "train_n", "val_x", "val_n", "train_y",
+                 "val_y", "val_noisy"],
+    meta_fields=[])
+
+
+def _hyper_row(h: HyperStack) -> dict:
+    return {"lr": h.lr, "keep_prob": h.keep_prob,
+            "weight_penalty": h.weight_penalty, "act_id": h.act_id}
+
+
+def _train_one_instance(rng: Array, hyper: dict, cfg: MMAEConfig,
+                        tcfg: TrainConfig, spec: NoiseSpec,
+                        train_x: Array, train_n: Array,
+                        val_x: Array, val_n: Array,
+                        num_steps: int):
+    """Train one (config, fold) instance start-to-finish inside the trace.
+
+    Returns (params, final noisy-val loss).  The step body mirrors
+    trainer.unsupervised_step but sampling is bounded by the fold's true
+    row count and all hyperparameters are traced.
+    """
+    k_init, k_run = jax.random.split(rng)
+    params = mmae.init(k_init, cfg)
+    state = (params, optim.adam_init(params), jnp.zeros((), jnp.int32),
+             k_run)
+
+    clip = tcfg.clip_norm if tcfg.clip_gradients else None
+
+    def one_step(carry, _):
+        params, opt_state, step, rng = carry
+        rng, k_batch, k_noise, k_drop = jax.random.split(rng, 4)
+        idx = jax.random.randint(k_batch, (tcfg.batch_size,), 0, train_n)
+        x = train_x[idx]
+        noisy = add_noise_to_batch(k_noise, x, spec)
+
+        def loss_fn(p):
+            loss, _ = mmae.total_loss(
+                p, cfg, noisy, x, rng=k_drop,
+                keep_prob=hyper["keep_prob"], train=True,
+                weight_penalty=hyper["weight_penalty"],
+                act_id=hyper["act_id"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if tcfg.decay and not tcfg.faithful_inert_decay:
+            lr = optim.exponential_decay(hyper["lr"], step,
+                                         tcfg.decay_steps, tcfg.decay_rate,
+                                         tcfg.decay_staircase)
+        else:
+            lr = hyper["lr"]
+        params, opt_state = optim.adam_update(grads, opt_state, params, lr,
+                                              clip_norm=clip)
+        return (params, opt_state, step + 1, rng), loss
+
+    state, _ = jax.lax.scan(one_step, state, None, length=num_steps)
+    params = state[0]
+
+    # Objective: fresh corruption of the full (padded) fold-val set,
+    # report-scaled loss over valid rows only (:1019-1033).
+    k_noise, k_fwd = jax.random.split(state[3])
+    row_valid = (jnp.arange(val_x.shape[0]) < val_n)
+    noisy_val = add_noise_to_batch(k_noise, val_x, spec)
+    out = mmae.forward(params, cfg, noisy_val, rng=k_fwd, keep_prob=1.0,
+                       train=False, act_id=hyper["act_id"])
+    loss = masking.masked_reconstruction_loss(cfg.loss, out.decoded, val_x,
+                                              row_valid)
+    loss = masking.masked_report_scale(cfg.loss, loss, row_valid,
+                                       val_x.shape[0])
+    return params, loss
+
+
+def train_grid(rng: Array, cfg: MMAEConfig, tcfg: TrainConfig,
+               spec: NoiseSpec, hyper: HyperStack, folded: FoldedData,
+               num_steps: Optional[int] = None):
+    """Train every (config, fold) cell of one shape bucket.
+
+    Returns ``(params, losses)`` with leading axes (C, K): stacked trained
+    parameters and final noisy-val losses.  Pure function; jit with
+    (cfg, tcfg, num_steps) static.
+    """
+    cfg = cfg.validate()
+    num_steps = tcfg.num_steps if num_steps is None else num_steps
+    C = hyper.lr.shape[0]
+    K = folded.train_x.shape[0]
+
+    def per_fold(rng_cf, hyper_row, tx, tn, vx, vn):
+        return _train_one_instance(rng_cf, hyper_row, cfg, tcfg, spec,
+                                   tx, tn, vx, vn, num_steps)
+
+    def per_config(rng_c, hyper_row):
+        fold_keys = jax.random.split(rng_c, K)
+        return jax.vmap(per_fold, in_axes=(0, None, 0, 0, 0, 0))(
+            fold_keys, hyper_row, folded.train_x, folded.train_n,
+            folded.val_x, folded.val_n)
+
+    config_keys = jax.random.split(rng, C)
+    params, losses = jax.vmap(per_config)(config_keys, _hyper_row(hyper))
+    return params, losses
+
+
+train_grid_jit = jax.jit(train_grid,
+                         static_argnames=("cfg", "tcfg", "num_steps"))
+
+
+def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
+                       cfg: MMAEConfig, tcfg: TrainConfig, spec: NoiseSpec,
+                       hyper: HyperStack, folded: FoldedData,
+                       num_steps: Optional[int] = None):
+    """Shard the config axis over the mesh and run :func:`train_grid`.
+
+    Pads the config count to a multiple of the mesh's config-axis size
+    (duplicating the last row) and drops the padding from the results.
+    Fold data is replicated; instances are independent, so XLA partitions
+    the whole computation with no hot-loop collectives.
+    """
+    C = hyper.num_configs
+    n_dev = mesh.shape[mesh_lib.CONFIG_AXIS]
+    padded = mesh_lib.pad_to_multiple(C, n_dev)
+    hyper = hyper.pad_to(padded)
+
+    hyper = mesh_lib.shard_leading_axis(hyper, mesh)
+    folded = jax.device_put(folded, mesh_lib.replicated(mesh))
+    params, losses = train_grid_jit(rng, cfg, tcfg, spec, hyper, folded,
+                                    num_steps)
+    trim = lambda a: a[:C]
+    return (jax.tree_util.tree_map(trim, params), losses[:C])
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierHyperStack:
+    """Per-config traced hyperparameters for the phase-2 classification
+    head (autoencoder_classification_wrapper.py:43, :173-179)."""
+
+    keep_prob: Array        # (C,)
+    weight_penalty: Array   # (C,)
+    cls_act_id: Array       # (C,)
+
+    @classmethod
+    def from_settings(cls, settings: Sequence[Dict[str, Any]],
+                      cfg: MMAEConfig) -> "ClassifierHyperStack":
+        kp, wp, act = [], [], []
+        default_act = cfg.classification_activation or cfg.activation
+        for s in settings:
+            kp.append(float(s.get("dropout_prob", cfg.dropout_prob)))
+            wp.append(float(s.get("weight_penalty",
+                                  cfg.classification_weight_penalty)))
+            act.append(mmae.activation_id(
+                s.get("activation_func", default_act)))
+        return cls(keep_prob=jnp.asarray(kp, jnp.float32),
+                   weight_penalty=jnp.asarray(wp, jnp.float32),
+                   cls_act_id=jnp.asarray(act, jnp.int32))
+
+    def pad_to(self, n: int) -> "ClassifierHyperStack":
+        c = self.keep_prob.shape[0]
+        if n == c:
+            return self
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (n - c,) + a.shape[1:])])
+        return ClassifierHyperStack(pad(self.keep_prob),
+                                    pad(self.weight_penalty),
+                                    pad(self.cls_act_id))
+
+
+jax.tree_util.register_dataclass(
+    ClassifierHyperStack,
+    data_fields=["keep_prob", "weight_penalty", "cls_act_id"],
+    meta_fields=[])
+
+
+def _train_classification_instance(rng: Array, params, enc_act_id: Array,
+                                   chyper: dict, cfg: MMAEConfig,
+                                   tcfg: TrainConfig, spec: NoiseSpec,
+                                   train_x: Array, train_y: Array,
+                                   train_n: Array, val_x: Array,
+                                   num_steps: int):
+    """Phase-2 supervised training of one (config, fold) instance
+    (multimodal_autoencoder.py:606-647): noisy supervised batches ->
+    classification loss -> Adam over all upstream params.  Returns
+    (params, val predictions on the padded fold-val set)."""
+    state = (params, optim.adam_init(params), jnp.zeros((), jnp.int32),
+             rng)
+    clip = tcfg.clip_norm if tcfg.clip_gradients else None
+
+    def one_step(carry, _):
+        params, opt_state, step, rng = carry
+        rng, k_batch, k_noise, k_drop = jax.random.split(rng, 4)
+        idx = jax.random.randint(k_batch, (tcfg.batch_size,), 0, train_n)
+        x, y = train_x[idx], train_y[idx]
+        noisy = add_noise_to_batch(k_noise, x, spec)
+
+        def loss_fn(p):
+            loss, _ = mmae.classification_total_loss(
+                p, cfg, noisy, y, rng=k_drop,
+                keep_prob=chyper["keep_prob"], train=True,
+                weight_penalty=chyper["weight_penalty"],
+                enc_act_id=enc_act_id, cls_act_id=chyper["cls_act_id"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.adam_update(grads, opt_state, params,
+                                              tcfg.learning_rate,
+                                              clip_norm=clip)
+        return (params, opt_state, step + 1, rng), loss
+
+    state, _ = jax.lax.scan(one_step, state, None, length=num_steps)
+    params = state[0]
+    # Predictions on the full padded fold-val set, no noise/dropout
+    # (get_classification_predictions, multimodal_autoencoder.py:1035-1045;
+    # the VAE samples its embedding even at inference, :372-375).
+    k_eps, k_fwd = jax.random.split(state[3])
+    mu, log_var = mmae.encode(params, cfg, val_x, rng=k_fwd, keep_prob=1.0,
+                              train=False, act_id=enc_act_id)
+    embedding = mu
+    if cfg.variational:
+        eps = jax.random.normal(k_eps, mu.shape, mu.dtype)
+        embedding = mu + eps * jnp.exp(log_var)
+    logits = mmae.classify(params, cfg, embedding, rng=k_fwd, keep_prob=1.0,
+                           train=False, act_id=chyper["cls_act_id"])
+    preds = losses_lib.classification_predictions(cfg.classification_loss,
+                                                  logits)
+    return params, preds
+
+
+def train_classification_grid(rng: Array, cfg: MMAEConfig,
+                              tcfg: TrainConfig, spec: NoiseSpec,
+                              params_stacked, hyper: HyperStack,
+                              chyper: ClassifierHyperStack,
+                              folded: FoldedData,
+                              num_steps: Optional[int] = None):
+    """Phase 2 over every (config, fold) cell: takes phase-1 trained params
+    (C, K, ...) and supervised folded data, returns (params, val_preds)
+    with (C, K) leading axes."""
+    cfg = cfg.validate()
+    num_steps = tcfg.num_steps if num_steps is None else num_steps
+    C = hyper.lr.shape[0]
+    K = folded.train_x.shape[0]
+    ch = {"keep_prob": chyper.keep_prob,
+          "weight_penalty": chyper.weight_penalty,
+          "cls_act_id": chyper.cls_act_id}
+
+    def per_fold(rng_cf, p, enc_act, ch_row, tx, ty, tn, vx):
+        return _train_classification_instance(
+            rng_cf, p, enc_act, ch_row, cfg, tcfg, spec, tx, ty, tn, vx,
+            num_steps)
+
+    def per_config(rng_c, p_c, enc_act, ch_row):
+        fold_keys = jax.random.split(rng_c, K)
+        return jax.vmap(per_fold,
+                        in_axes=(0, 0, None, None, 0, 0, 0, 0))(
+            fold_keys, p_c, enc_act, ch_row, folded.train_x,
+            folded.train_y, folded.train_n, folded.val_x)
+
+    config_keys = jax.random.split(rng, C)
+    return jax.vmap(per_config)(config_keys, params_stacked, hyper.act_id,
+                                ch)
+
+
+train_classification_grid_jit = jax.jit(
+    train_classification_grid, static_argnames=("cfg", "tcfg", "num_steps"))
+
+
+def embed_grid(params_stacked, cfg: MMAEConfig, hyper: HyperStack,
+               x: Array, rng: Optional[Array] = None,
+               sample: bool = False) -> Array:
+    """Embeddings of ``x`` under every (config, fold) trained model:
+    (C, K, rows, E).  ``sample=False`` gives deterministic mu even for the
+    VAE (reference embeds with the sampled z, :1062-1080; the SVM probe is
+    more stable on mu — both supported)."""
+    cfg = cfg.validate()
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def one(p, act_id):
+        out = mmae.forward(p, cfg, x, rng=rng, keep_prob=1.0, train=False,
+                           sample=sample, act_id=act_id)
+        return out.embedding
+
+    def per_config(p_c, act_id):
+        return jax.vmap(lambda p: one(p, act_id))(p_c)
+
+    return jax.vmap(per_config)(params_stacked, hyper.act_id)

@@ -1,0 +1,581 @@
+"""Concrete MMAE sweeps: the TPU replacements for autoencoder_wrapper.py
+(MMAEWrapper) and autoencoder_classification_wrapper.py
+(MMAEClassificationWrapper).
+
+Where the reference loops settings x folds serially, rebuilding its TF
+graph per cell (autoencoder_wrapper.py:286-343), these sweeps bucket the
+grid by shape (sweep/grid.py), stack each bucket's hyperparameters, and
+train the whole configs x folds block as one sharded vmapped computation
+(:mod:`..parallel.grid_trainer`).  The ledger/resume/best-setting contract
+is the reference's (engine.py).
+
+Fixed training recipe (autoencoder_wrapper.py:79-92): sigmoid-CE loss,
+lr 1e-3, 0-1 normalization, mask -1.0, fill 0.0, exp decay(1000, .95),
+batch 20, Adam, 15000 steps.  Note the reference configures decay and
+clipping but both are inert bugs (SURVEY §2.8.1-2); here they work, with
+``faithful_inert_decay`` available on TrainConfig for bug-compatible runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+from multimodalautoencoder_tpu.ops import metrics as metrics_lib
+from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+from multimodalautoencoder_tpu.sweep import engine, grid as grid_lib
+from multimodalautoencoder_tpu.utils import helpers
+
+LABELS_TO_PREDICT = ["happiness", "health", "calmness"]  # autoencoder_wrapper.py:25
+DEFAULT_NUM_CROSS_FOLDS = 5
+
+
+def _arch_tuple(a) -> tuple:
+    return tuple(a) if isinstance(a, (list, tuple)) else (a,)
+
+
+def _cfg_slice(emb_dict, key, c):
+    """Config c's (rows, E) embedding from a {name: (C, rows, E)} dict,
+    or None when that dataset was empty."""
+    arr = emb_dict.get(key)
+    return None if arr is None else arr[c]
+
+
+class MMAESweep:
+    """Grid search over MMAE hyperparameters, scored by noisy-val
+    reconstruction loss, with an SVM embedding-quality probe — the
+    capabilities of MMAEWrapper (autoencoder_wrapper.py:27-385)."""
+
+    def __init__(self, data_loader, classification_data_loader=None,
+                 layer_sizes: Sequence[Sequence[int]] = ((1000, 100),
+                                                         (500, 100),
+                                                         (300, 100)),
+                 tie_weights: Sequence[bool] = (True, False),
+                 dropout_probs: Sequence[float] = (1.0, 0.5),
+                 weight_penalties: Sequence[float] = (0.0, 0.01, 0.001),
+                 weight_initializers: Sequence[str] = ("normal",),
+                 activation_funcs: Sequence[str] = ("softsign", "relu"),
+                 test_variational: bool = True,
+                 results_path: str = "results", classifier_name="MMAE",
+                 cont: bool = False, check_test: bool = False,
+                 num_cross_folds: int = DEFAULT_NUM_CROSS_FOLDS,
+                 optimize_for: Optional[str] = None, min_or_max="min",
+                 num_steps: int = 15000, batch_size: int = 20,
+                 learning_rate: float = 1e-3,
+                 labels_to_predict: Optional[Sequence[str]] = None,
+                 probe: Optional[str] = "svm",
+                 svm_Cs: Sequence[float] = (1.0, 10.0, 100.0),
+                 svm_gammas: Sequence[float] = (0.01, 0.001),
+                 mesh=None, save_results_every_nth: int = 1,
+                 seed: int = 0, verbose: bool = True):
+        from multimodalautoencoder_tpu.utils.cache import \
+            enable_persistent_cache
+        enable_persistent_cache()
+        self.data_loader = data_loader
+        self.cls_loader = classification_data_loader
+        self.num_cross_folds = num_cross_folds
+        self.check_test = check_test
+        self.probe = probe if classification_data_loader is not None else None
+        self.svm_Cs = svm_Cs
+        self.svm_gammas = svm_gammas
+        self.labels = list(labels_to_predict or LABELS_TO_PREDICT)
+        self.verbose = verbose
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+        # fixed recipe (autoencoder_wrapper.py:79-92)
+        self.loss_func = "sigmoid_cross_entropy"
+        self.base_cfg = MMAEConfig(
+            num_feats=data_loader.num_feats, loss=self.loss_func,
+            normalization="between_0_and_1", mask_with=-1.0,
+            fill_missing_with=0.0)
+        self.tcfg = TrainConfig(
+            learning_rate=learning_rate, batch_size=batch_size,
+            num_steps=num_steps, decay=True, decay_steps=1000,
+            decay_rate=0.95, clip_gradients=True,
+            record_every_nth=max(num_steps // 10, 1), seed=seed)
+        self.optimize_for = optimize_for or ("val_" + self.loss_func)
+        self.min_or_max = min_or_max
+
+        params = {
+            "architecture": [list(a) for a in layer_sizes],
+            "tie_weights": list(tie_weights),
+            "dropout_prob": list(dropout_probs),
+            "weight_penalty": list(weight_penalties),
+            "weight_initialization": list(weight_initializers),
+            "activation_function": list(activation_funcs),
+            "variational": [False],
+        }  # autoencoder_wrapper.py:127-136
+        settings = grid_lib.enumerate_grid(params)
+        if test_variational:
+            settings = grid_lib.add_extra_vae_params(settings)
+        self.list_of_param_settings = settings
+        self.num_settings = len(settings)
+
+        prefix = engine.get_save_prefix(
+            results_path, classifier_name,
+            getattr(data_loader, "filename", "data.csv"), replace=cont)
+        self.ledger = engine.ResultsLedger(
+            results_path, prefix, cont=cont,
+            save_every_nth=save_results_every_nth)
+
+        self.spec = NoiseSpec.build(self.base_cfg.validate(),
+                                    data_loader.modality_table)
+        self.folded = gt.FoldedData.from_loader(data_loader,
+                                                num_cross_folds)
+        self._cls_folds = None
+        if self.cls_loader is not None:
+            self._cls_folds = [
+                self._cls_fold_arrays(f) for f in range(num_cross_folds)]
+
+    # ------------------------------------------------------------------
+    def _cls_fold_arrays(self, fold: int):
+        """Host-side classification fold arrays for the SVM probe
+        (autoencoder_wrapper.py:202-226 embeds train/val/noisy-val/
+        clean-val of the classification loader)."""
+        dl = self.cls_loader
+        dl.set_to_cross_validation_fold(fold)
+        return {
+            "train_X": np.asarray(dl.train_X, np.float32),
+            "train_Y": np.atleast_2d(np.asarray(dl.train_Y).T).T,
+            "val_X": np.asarray(dl.val_X, np.float32),
+            "val_Y": np.atleast_2d(np.asarray(dl.val_Y).T).T,
+            "noisy_X": np.asarray(dl.noisy_val_X, np.float32),
+            "noisy_Y": np.atleast_2d(np.asarray(dl.noisy_val_Y).T).T,
+            "clean_X": np.asarray(dl.clean_val_X, np.float32),
+            "clean_Y": np.atleast_2d(np.asarray(dl.clean_val_Y).T).T,
+        }
+
+    def _cfg_for_bucket(self, setting: Dict[str, Any]) -> MMAEConfig:
+        return self.base_cfg.replace(
+            layer_sizes=_arch_tuple(setting["architecture"]),
+            tie_weights=bool(setting.get("tie_weights", False)),
+            variational=bool(setting.get("variational", False)),
+            weight_initialization=setting.get("weight_initialization",
+                                              "normal"),
+        ).validate()
+
+    def _embed_configs(self, params_f, cfg, hyper, x: np.ndarray):
+        """(C, rows, E) embeddings of ``x`` under each config's fold-f
+        model.  Faithful to the reference: the VAE embeds with sampled z
+        (multimodal_autoencoder.py:372-375, used by the probe at
+        autoencoder_wrapper.py:212-226)."""
+        from multimodalautoencoder_tpu.models import mmae as mmae_lib
+
+        xj = jnp.asarray(x)
+        rng = jax.random.PRNGKey(self.seed + 17)
+
+        def one(p, act_id):
+            out = mmae_lib.forward(p, cfg, xj, rng=rng, keep_prob=1.0,
+                                   train=False, sample=True, act_id=act_id)
+            return out.embedding
+
+        return np.asarray(jax.vmap(one)(params_f, hyper.act_id))
+
+    def _svm_probe_bucket(self, params, cfg, hyper, num_configs: int):
+        """RBF-SVM embedding-quality probe (autoencoder_wrapper.py:202-284):
+        per fold, fit SVC(C, gamma) grids on embedded train data per label;
+        track the best (acc AND auc) on val / noisy-val / clean-val.
+        Returns per-config dicts of nanmean-over-fold columns."""
+        from sklearn.svm import SVC
+
+        L = len(self.labels)
+        K = self.num_cross_folds
+        accs = np.full((num_configs, K, L), np.nan)
+        aucs = np.full((num_configs, K, L), np.nan)
+        n_accs = np.full((num_configs, K, L), np.nan)
+        n_aucs = np.full((num_configs, K, L), np.nan)
+        c_accs = np.full((num_configs, K, L), np.nan)
+        c_aucs = np.full((num_configs, K, L), np.nan)
+
+        for f in range(K):
+            data = self._cls_folds[f]
+            params_f = jax.tree_util.tree_map(lambda a: a[:, f], params)
+            emb = {k: self._embed_configs(params_f, cfg, hyper,
+                                          data[k + "_X"])
+                   for k in ("train", "val", "noisy", "clean")
+                   if len(data[k + "_X"]) > 0}
+            for c in range(num_configs):
+                for l in range(min(L, data["train_Y"].shape[1])):
+                    best = dict(acc=0.0, auc=0.0, n_acc=0.0, n_auc=0.0,
+                                c_acc=0.0, c_auc=0.0)
+                    for C in self.svm_Cs:
+                        for g in self.svm_gammas:
+                            try:
+                                svm = SVC(C=C, kernel="rbf", gamma=g)
+                                svm.fit(emb["train"][c],
+                                        data["train_Y"][:, l])
+                                self._best(svm, _cfg_slice(emb, "val", c),
+                                           data["val_Y"], l, best, "")
+                                self._best(svm, _cfg_slice(emb, "noisy", c),
+                                           data["noisy_Y"], l, best, "n_")
+                                self._best(svm, _cfg_slice(emb, "clean", c),
+                                           data["clean_Y"], l, best, "c_")
+                            except Exception as e:
+                                # degrade like the reference, which prints
+                                # and continues (:258-259)
+                                if self.verbose:
+                                    print("SVM probe error:", repr(e))
+                    accs[c, f, l] = best["acc"]
+                    aucs[c, f, l] = best["auc"]
+                    n_accs[c, f, l] = best["n_acc"]
+                    n_aucs[c, f, l] = best["n_auc"]
+                    c_accs[c, f, l] = best["c_acc"]
+                    c_aucs[c, f, l] = best["c_auc"]
+
+        rows = []
+        for c in range(num_configs):
+            row = {}
+            for i, label in enumerate(self.labels):
+                row[f"svm_val_acc_{label}"] = engine.nanmean(accs[c, :, i])
+                row[f"svm_val_auc_{label}"] = engine.nanmean(aucs[c, :, i])
+                row[f"svm_noisy_val_acc_{label}"] = engine.nanmean(
+                    n_accs[c, :, i])
+                row[f"svm_noisy_val_auc_{label}"] = engine.nanmean(
+                    n_aucs[c, :, i])
+                row[f"svm_clean_val_acc_{label}"] = engine.nanmean(
+                    c_accs[c, :, i])
+                row[f"svm_clean_val_auc_{label}"] = engine.nanmean(
+                    c_aucs[c, :, i])
+            row["svm_val_acc"] = engine.nanmean(accs[c])
+            row["svm_val_auc"] = engine.nanmean(aucs[c])
+            row["svm_noisy_val_acc"] = engine.nanmean(n_accs[c])
+            row["svm_noisy_val_auc"] = engine.nanmean(n_aucs[c])
+            row["svm_clean_val_acc"] = engine.nanmean(c_accs[c])
+            row["svm_clean_val_auc"] = engine.nanmean(c_aucs[c])
+            rows.append(row)
+        return rows
+
+    @staticmethod
+    def _best(svm, emb, Y, l, best, prefix):
+        """svm_pred_best_result (autoencoder_wrapper.py:272-284): update
+        only when BOTH acc and auc improve."""
+        if emb is None or len(Y) == 0:
+            return
+        preds = svm.predict(emb)
+        m = metrics_lib.all_classification_metrics(
+            jnp.asarray(preds, jnp.float32), jnp.asarray(Y[:, l],
+                                                         jnp.float32))
+        acc, auc = float(m["acc"]), float(m["auc"])
+        if acc > best[prefix + "acc"] and auc > best[prefix + "auc"]:
+            best[prefix + "acc"] = acc
+            best[prefix + "auc"] = auc
+
+    # ------------------------------------------------------------------
+    def sweep_all_parameters(self) -> None:
+        pending = [s for s in self.list_of_param_settings
+                   if not (self.ledger.started_from
+                           and self.ledger.already_done(s))]
+        buckets = grid_lib.bucket_settings(pending)
+        est = engine.TimeEstimator(self.num_settings,
+                                   self.ledger.started_from)
+        for bi, (key, bucket) in enumerate(buckets):
+            t0 = time.time()
+            cfg = self._cfg_for_bucket(bucket[0])
+            hyper = gt.HyperStack.from_settings(bucket, cfg, self.tcfg)
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
+            params, losses = gt.train_grid_sharded(
+                self.mesh, rng, cfg, self.tcfg, self.spec, hyper,
+                self.folded)
+            losses = np.asarray(losses)            # (C, K)
+
+            probe_rows = None
+            if self.probe == "svm":
+                probe_rows = self._svm_probe_bucket(params, cfg, hyper,
+                                                    len(bucket))
+
+            for c, setting in enumerate(bucket):
+                row = dict(setting)
+                row[self.optimize_for] = float(np.mean(losses[c]))
+                if probe_rows is not None:
+                    row.update(probe_rows[c])
+                self.ledger.append(row)
+            est.record(time.time() - t0, batch=len(bucket))
+            if self.verbose:
+                print(f"bucket {bi + 1}/{len(buckets)} "
+                      f"({len(bucket)} settings x {self.num_cross_folds} "
+                      f"folds): {time.time() - t0:.1f}s; {est.summary()}")
+        self.ledger.flush()
+
+    def find_best_setting(self, optimize_for=None, min_or_max=None):
+        return self.ledger.find_best_setting(
+            optimize_for or self.optimize_for,
+            min_or_max or self.min_or_max)
+
+    def test_on_test(self, setting: Dict[str, Any]) -> float:
+        """Retrain the best setting on fold 0 and report test-set loss
+        (autoencoder_wrapper.py:364-376)."""
+        from multimodalautoencoder_tpu.train import trainer
+
+        setting = grid_lib.convert_param_dict_for_use(dict(setting))
+        cfg = self._cfg_for_bucket(setting).replace(
+            dropout_prob=float(setting.get("dropout_prob", 1.0)),
+            weight_penalty=float(setting.get("weight_penalty", 0.0)),
+            activation=setting.get("activation_function", "softsign"))
+        self.data_loader.set_to_cross_validation_fold(0)
+        arr = self.data_loader.device_arrays()
+        state = trainer.init_state(jax.random.PRNGKey(self.seed), cfg,
+                                   self.tcfg)
+        state, _ = trainer.train_jit(state, cfg, self.tcfg, self.spec,
+                                     arr["train_x"], arr["val_x"])
+        _, loss = trainer.predict(state.params, cfg, arr["test_x"])
+        return float(loss)
+
+    def run(self):
+        """sweep -> best setting (+ optional held-out test), plus best
+        embeddings by svm_val_acc / svm_val_auc
+        (autoencoder_wrapper.py:378-385)."""
+        self.sweep_all_parameters()
+        best = self.find_best_setting()
+        test_score = None
+        if self.check_test:
+            test_score = self.test_on_test(best.to_dict())
+        extras = {}
+        for metric in ("svm_val_acc", "svm_val_auc"):
+            if metric in self.ledger.df.columns:
+                extras[metric] = self.find_best_setting(metric, "max")
+        return best, test_score, extras
+
+
+class MMAEClassificationSweep:
+    """Two-phase grid search (MMAE denoising pretrain + classification
+    head) — the capabilities of MMAEClassificationWrapper
+    (autoencoder_classification_wrapper.py:26-369)."""
+
+    def __init__(self, data_loader, classification_data_loader,
+                 mmae_layer_sizes=((1000, 100), (200, 100), (500, 100)),
+                 classification_layer_sizes=((50, 20), (25, 10), (100, 50),
+                                             (100,)),
+                 tie_weights=(True, False),
+                 mmae_dropout_probs=(1.0, 0.5),
+                 mmae_weight_penalties=(0.01, 0.001),
+                 weight_initializers=("normal",),
+                 mmae_activation_funcs=("relu",),
+                 mmae_test_variational=(True, False),
+                 weight_penalties=(0.0, 0.001),
+                 dropout_probs=(0.5, 1.0),
+                 activation_funcs=("relu",),
+                 classification_learning_rate: float = 1e-4,
+                 classification_batch_size: int = 100,
+                 classification_num_steps: int = 15000,
+                 mmae_num_steps: int = 15000, mmae_batch_size: int = 20,
+                 mmae_learning_rate: float = 1e-3,
+                 wanted_label: Optional[str] = None,
+                 results_path: str = "results",
+                 classifier_name: str = "MMAE_NN_classifier",
+                 cont: bool = False, check_test: bool = False,
+                 num_cross_folds: int = DEFAULT_NUM_CROSS_FOLDS,
+                 optimize_for: str = "val_acc", min_or_max: str = "max",
+                 check_noisy_data: bool = True, mesh=None,
+                 save_results_every_nth: int = 1, seed: int = 0,
+                 verbose: bool = True):
+        from multimodalautoencoder_tpu.utils.cache import \
+            enable_persistent_cache
+        enable_persistent_cache()
+        self.data_loader = data_loader
+        self.cls_loader = classification_data_loader
+        self.num_cross_folds = num_cross_folds
+        self.check_test = check_test
+        self.check_noisy_data = check_noisy_data
+        self.wanted_label = wanted_label
+        self.optimize_for = optimize_for
+        self.min_or_max = min_or_max
+        self.verbose = verbose
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+        num_labels = (classification_data_loader.num_labels
+                      if wanted_label is None else None)
+        # single-label mode -> softmax head over num_classes
+        # (autoencoder_classification_wrapper.py:169-172; head output
+        # defaults to 2 when num_labels unset, multimodal_autoencoder.py
+        # :323-327)
+        if wanted_label is not None:
+            cls_loss = "softmax"
+            out_labels = 2
+        else:
+            cls_loss = "sigmoid_cross_entropy"
+            out_labels = num_labels or 2
+        self.base_cfg = MMAEConfig(
+            num_feats=data_loader.num_feats,
+            loss="sigmoid_cross_entropy",
+            normalization="between_0_and_1",
+            num_labels=out_labels, classification_loss=cls_loss)
+        self.tcfg = TrainConfig(
+            learning_rate=mmae_learning_rate, batch_size=mmae_batch_size,
+            num_steps=mmae_num_steps,
+            record_every_nth=max(mmae_num_steps // 10, 1), seed=seed)
+        self.cls_tcfg = TrainConfig(
+            learning_rate=classification_learning_rate,
+            batch_size=classification_batch_size,
+            num_steps=classification_num_steps,
+            record_every_nth=max(classification_num_steps // 10, 1),
+            seed=seed)
+
+        params = {
+            "mmae_architecture": [list(a) for a in mmae_layer_sizes],
+            "classification_layers": [list(a) for a in
+                                      classification_layer_sizes],
+            "tie_weights": list(tie_weights),
+            "mmae_dropout_prob": list(mmae_dropout_probs),
+            "mmae_weight_penalty": list(mmae_weight_penalties),
+            "weight_initialization": list(weight_initializers),
+            "mmae_activation_function": list(mmae_activation_funcs),
+            "variational": list(mmae_test_variational),
+            "weight_penalty": list(weight_penalties),
+            "dropout_prob": list(dropout_probs),
+            "activation_func": list(activation_funcs),
+        }  # autoencoder_classification_wrapper.py:127-140
+        settings = grid_lib.trim_vae_tied(grid_lib.enumerate_grid(params))
+        self.list_of_param_settings = settings
+        self.num_settings = len(settings)
+
+        prefix = engine.get_save_prefix(
+            results_path, classifier_name,
+            getattr(classification_data_loader, "filename", "data.csv"),
+            wanted_label=wanted_label, replace=cont)
+        self.ledger = engine.ResultsLedger(
+            results_path, prefix, cont=cont,
+            save_every_nth=save_results_every_nth)
+
+        self.spec = NoiseSpec.build(self.base_cfg.validate(),
+                                    data_loader.modality_table)
+        self.unsup_folded = gt.FoldedData.from_loader(data_loader,
+                                                      num_cross_folds)
+        self.sup_folded = gt.FoldedData.from_loader(
+            classification_data_loader, num_cross_folds, supervised=True,
+            noisy_flags=check_noisy_data)
+        self.labels = (classification_data_loader.wanted_labels
+                       or [wanted_label])
+
+    def _cfg_for_bucket(self, setting: Dict[str, Any]) -> MMAEConfig:
+        return self.base_cfg.replace(
+            layer_sizes=_arch_tuple(setting["mmae_architecture"]),
+            classification_layer_sizes=_arch_tuple(
+                setting["classification_layers"]),
+            tie_weights=bool(setting.get("tie_weights", False)),
+            variational=bool(setting.get("variational", False)),
+            weight_initialization=setting.get("weight_initialization",
+                                              "normal"),
+        ).validate()
+
+    def _metric_rows(self, preds: np.ndarray, num_configs: int):
+        """Per-config metric columns from (C, K, max_val[, L]) predictions:
+        acc/auc/f1/precision/recall per label + aggregates + noisy/clean
+        slices, nanmean over folds
+        (autoencoder_classification_wrapper.py:239-328,
+        generic_wrapper.py:433-497)."""
+        val_y = np.asarray(self.sup_folded.val_y)       # (K, max_val[, L])
+        val_n = np.asarray(self.sup_folded.val_n)
+        noisy = (np.asarray(self.sup_folded.val_noisy)
+                 if self.sup_folded.val_noisy is not None else None)
+        K = val_y.shape[0]
+        if preds.ndim == 3:                              # single-label
+            preds = preds[..., None]
+            val_y = val_y[..., None]
+        L = preds.shape[-1]
+
+        rows = []
+        for c in range(num_configs):
+            per_label = {m: np.full((K, L), np.nan)
+                         for m in ("acc", "auc", "f1", "precision",
+                                   "recall")}
+            noisy_m = {m: np.full((K, L), np.nan) for m in ("acc", "auc")}
+            clean_m = {m: np.full((K, L), np.nan) for m in ("acc", "auc")}
+            for f in range(K):
+                n = int(val_n[f])
+                valid = np.arange(val_y.shape[1]) < n
+                for l in range(L):
+                    p = jnp.asarray(preds[c, f, :, l], jnp.float32)
+                    y = jnp.asarray(val_y[f, :, l], jnp.float32)
+                    v = jnp.asarray(valid)
+                    m = metrics_lib.all_classification_metrics(p, y, v)
+                    for name in per_label:
+                        per_label[name][f, l] = float(m[name])
+                    if noisy is not None:
+                        vn = jnp.asarray(valid & noisy[f])
+                        vc = jnp.asarray(valid & ~noisy[f])
+                        mn = metrics_lib.all_classification_metrics(p, y, vn)
+                        mc = metrics_lib.all_classification_metrics(p, y, vc)
+                        for name in ("acc", "auc"):
+                            noisy_m[name][f, l] = float(mn[name])
+                            clean_m[name][f, l] = float(mc[name])
+            row = {}
+            for name in per_label:
+                row[f"val_{name}"] = engine.nanmean(per_label[name])
+            for i, label in enumerate(self.labels):
+                friendly = helpers.get_friendly_label_name(str(label))
+                row[f"val_acc_{friendly}"] = engine.nanmean(
+                    per_label["acc"][:, i])
+                row[f"val_auc_{friendly}"] = engine.nanmean(
+                    per_label["auc"][:, i])
+            if noisy is not None:
+                row["noisy_val_acc"] = engine.nanmean(noisy_m["acc"])
+                row["noisy_val_auc"] = engine.nanmean(noisy_m["auc"])
+                row["clean_val_acc"] = engine.nanmean(clean_m["acc"])
+                row["clean_val_auc"] = engine.nanmean(clean_m["auc"])
+            rows.append(row)
+        return rows
+
+    def sweep_all_parameters(self) -> None:
+        pending = [s for s in self.list_of_param_settings
+                   if not (self.ledger.started_from
+                           and self.ledger.already_done(s))]
+        buckets = grid_lib.bucket_settings(pending)
+        est = engine.TimeEstimator(self.num_settings,
+                                   self.ledger.started_from)
+        for bi, (key, bucket) in enumerate(buckets):
+            t0 = time.time()
+            cfg = self._cfg_for_bucket(bucket[0])
+            mmae_settings = [{
+                "dropout_prob": s.get("mmae_dropout_prob", 1.0),
+                "weight_penalty": s.get("mmae_weight_penalty", 0.0),
+                "activation_function": s.get("mmae_activation_function",
+                                             "relu"),
+            } for s in bucket]
+            hyper = gt.HyperStack.from_settings(mmae_settings, cfg,
+                                                self.tcfg)
+            chyper = gt.ClassifierHyperStack.from_settings(bucket, cfg)
+
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
+            k1, k2 = jax.random.split(rng)
+            params, losses = gt.train_grid_jit(
+                k1, cfg, self.tcfg, self.spec, hyper, self.unsup_folded)
+            params, preds = gt.train_classification_grid_jit(
+                k2, cfg, self.cls_tcfg, self.spec, params, hyper, chyper,
+                self.sup_folded)
+            losses = np.asarray(losses)
+            preds = np.asarray(preds)
+
+            metric_rows = self._metric_rows(preds, len(bucket))
+            for c, setting in enumerate(bucket):
+                row = dict(setting)
+                row["val_mmae_loss"] = float(np.mean(losses[c]))
+                row.update(metric_rows[c])
+                self.ledger.append(row)
+            est.record(time.time() - t0, batch=len(bucket))
+            if self.verbose:
+                print(f"bucket {bi + 1}/{len(buckets)} "
+                      f"({len(bucket)} settings): {time.time() - t0:.1f}s; "
+                      f"{est.summary()}")
+        self.ledger.flush()
+
+    def get_final_results(self):
+        """Best settings for val_acc / noisy_val_acc / clean_val_acc
+        (generic_wrapper.py:514-522)."""
+        out = {}
+        for metric in ("val_acc", "noisy_val_acc", "clean_val_acc"):
+            if metric in self.ledger.df.columns:
+                out[metric] = self.ledger.find_best_setting(metric, "max")
+        return out
+
+    def run(self):
+        self.sweep_all_parameters()
+        return self.get_final_results()

@@ -24,7 +24,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import lax
 
 from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
@@ -32,13 +31,14 @@ from multimodalautoencoder_tpu.models import mmae
 from multimodalautoencoder_tpu.models import losses as losses_lib
 from multimodalautoencoder_tpu.models.corruption import NoiseSpec, \
     add_noise_to_batch
+from multimodalautoencoder_tpu.ops import optim
 
 Array = jax.Array
 
 
 class TrainState(NamedTuple):
     params: mmae.MMAEParams
-    opt_state: optax.OptState
+    opt_state: optim.AdamState
     step: Array          # int32 scalar
     rng: Array
 
@@ -50,34 +50,33 @@ class Curves(NamedTuple):
     val_loss: Array
 
 
-def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam + exponential decay + global-norm clipping.
+def learning_rate_at(tcfg: TrainConfig, step: Array,
+                     lr0=None):
+    """LR schedule: working exponential decay
+    (tf.train.exponential_decay semantics, multimodal_autoencoder.py:357-361)
+    unless decay is off or ``faithful_inert_decay`` reproduces the
+    reference's never-incremented global_step bug (SURVEY.md §2.8.1).
+    ``lr0`` may be a traced per-config scalar (vmapped sweeps)."""
+    lr0 = tcfg.learning_rate if lr0 is None else lr0
+    if not tcfg.decay or tcfg.faithful_inert_decay:
+        return jnp.asarray(lr0, jnp.float32)
+    return optim.exponential_decay(lr0, step, tcfg.decay_steps,
+                                   tcfg.decay_rate, tcfg.decay_staircase)
 
-    Matches ``tf.train.exponential_decay(lr, step, decay_steps, decay_rate)``
-    (multimodal_autoencoder.py:357-361) and the NN baseline's
-    ``clip_by_global_norm`` (comparison_algorithms/neural_net.py:190-195).
-    """
-    if tcfg.decay and not tcfg.faithful_inert_decay:
-        schedule = optax.exponential_decay(
-            init_value=tcfg.learning_rate,
-            transition_steps=tcfg.decay_steps,
-            decay_rate=tcfg.decay_rate,
-            staircase=tcfg.decay_staircase)
-    else:
-        schedule = tcfg.learning_rate
-    parts = []
-    if tcfg.clip_gradients:
-        parts.append(optax.clip_by_global_norm(tcfg.clip_norm))
-    parts.append(optax.adam(schedule))
-    return optax.chain(*parts)
+
+def _apply_update(state: TrainState, grads, tcfg: TrainConfig, lr0=None):
+    lr = learning_rate_at(tcfg, state.step, lr0)
+    clip = tcfg.clip_norm if tcfg.clip_gradients else None
+    params, opt_state = optim.adam_update(grads, state.opt_state,
+                                          state.params, lr, clip_norm=clip)
+    return params, opt_state
 
 
 def init_state(rng: Array, cfg: MMAEConfig,
                tcfg: TrainConfig) -> TrainState:
     k_init, k_run = jax.random.split(jax.random.fold_in(rng, tcfg.seed))
     params = mmae.init(k_init, cfg)
-    tx = make_optimizer(tcfg)
-    return TrainState(params=params, opt_state=tx.init(params),
+    return TrainState(params=params, opt_state=optim.adam_init(params),
                       step=jnp.zeros((), jnp.int32), rng=k_run)
 
 
@@ -89,9 +88,14 @@ def _sample_batch(rng: Array, data: Array, batch_size: int) -> Array:
 
 def unsupervised_step(state: TrainState, cfg: MMAEConfig, tcfg: TrainConfig,
                       spec: NoiseSpec, train_x: Array,
-                      tx: optax.GradientTransformation
+                      hyper: Optional[dict] = None
                       ) -> Tuple[TrainState, Array]:
-    """One denoising SGD step (multimodal_autoencoder.py:566-590)."""
+    """One denoising SGD step (multimodal_autoencoder.py:566-590).
+
+    ``hyper`` optionally overrides (lr, keep_prob, weight_penalty, act_id)
+    with traced per-config scalars for vmapped sweeps.
+    """
+    hyper = hyper or {}
     rng, k_batch, k_noise, k_drop = jax.random.split(state.rng, 4)
     x = _sample_batch(k_batch, train_x, tcfg.batch_size)
     noisy = add_noise_to_batch(k_noise, x, spec)
@@ -99,12 +103,14 @@ def unsupervised_step(state: TrainState, cfg: MMAEConfig, tcfg: TrainConfig,
     def loss_fn(params):
         loss, aux = mmae.total_loss(
             params, cfg, noisy, x, rng=k_drop,
-            keep_prob=cfg.dropout_prob, train=True)
+            keep_prob=hyper.get("keep_prob", cfg.dropout_prob), train=True,
+            weight_penalty=hyper.get("weight_penalty"),
+            act_id=hyper.get("act_id"))
         return loss, aux
 
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    params, opt_state = _apply_update(state, grads, tcfg,
+                                      lr0=hyper.get("lr"))
     return TrainState(params, opt_state, state.step + 1, rng), loss
 
 
@@ -150,11 +156,9 @@ def train(state: TrainState, cfg: MMAEConfig, tcfg: TrainConfig,
     cfg = cfg.validate()
     num_steps = tcfg.num_steps if num_steps is None else num_steps
     record = tcfg.record_every_nth
-    tx = make_optimizer(tcfg)
 
     def one_step(carry, _):
-        new_state, loss = unsupervised_step(carry, cfg, tcfg, spec,
-                                            train_x, tx)
+        new_state, loss = unsupervised_step(carry, cfg, tcfg, spec, train_x)
         return new_state, loss
 
     def period(carry, _):
@@ -190,8 +194,7 @@ class ClassificationCurves(NamedTuple):
 
 def classification_step(state: TrainState, cfg: MMAEConfig,
                         tcfg: TrainConfig, spec: NoiseSpec,
-                        train_x: Array, train_y: Array,
-                        tx: optax.GradientTransformation
+                        train_x: Array, train_y: Array
                         ) -> Tuple[TrainState, Array]:
     """One supervised step: noisy batch -> classification loss -> Adam.
     Gradients flow into the encoder (reference ``minimize`` spans all
@@ -209,8 +212,7 @@ def classification_step(state: TrainState, cfg: MMAEConfig,
         return loss
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    params, opt_state = _apply_update(state, grads, tcfg)
     return TrainState(params, opt_state, state.step + 1, rng), loss
 
 
@@ -236,11 +238,10 @@ def train_classification(state: TrainState, cfg: MMAEConfig,
     cfg = cfg.validate()
     num_steps = tcfg.num_steps if num_steps is None else num_steps
     record = tcfg.record_every_nth
-    tx = make_optimizer(tcfg)
 
     def one_step(carry, _):
         return classification_step(carry, cfg, tcfg, spec, train_x,
-                                   train_y, tx)
+                                   train_y)
 
     def period(carry, _):
         rng, k_tb, k_te, k_vb, k_ve = jax.random.split(carry.rng, 5)

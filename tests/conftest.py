@@ -16,6 +16,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The machine's sitecustomize force-registers the axon TPU backend and
+# rewrites jax_platforms to "axon,cpu" in every interpreter; re-pin to cpu
+# after import (before any backend initialization) so tests get the
+# deterministic 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

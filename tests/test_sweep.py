@@ -1,0 +1,154 @@
+"""Sweep engine + concrete MMAE sweeps end-to-end on tiny grids."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalautoencoder_tpu.data import synthetic
+from multimodalautoencoder_tpu.data.loader import DataLoader
+from multimodalautoencoder_tpu.sweep import engine, wrappers
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "sweep.csv")
+    synthetic.write_csv(path, num_rows=260, seed=5,
+                        label_names=("happy_label", "health_label"))
+    unsup = DataLoader(path, supervised=False, cross_validation=True,
+                       suppress_output=True, normalize_and_fill=True,
+                       fill_gaps_with=-1.0)
+    sup = DataLoader(path, supervised=True, cross_validation=True,
+                     suppress_output=True, normalize_and_fill=True,
+                     fill_gaps_with=-1.0)
+    return unsup, sup
+
+
+def test_ledger_resume_and_best(tmp_path):
+    led = engine.ResultsLedger(str(tmp_path), "t", save_every_nth=1)
+    led.append({"C": 1, "architecture": [8, 4], "val_score": 0.5})
+    led.append({"C": 10, "architecture": [8, 4], "val_score": 0.9})
+    assert os.path.exists(led.path)
+
+    led2 = engine.ResultsLedger(str(tmp_path), "t", cont=True)
+    assert len(led2) == 2
+    assert led2.already_done({"C": 1, "architecture": [8, 4]})
+    assert not led2.already_done({"C": 5, "architecture": [8, 4]})
+    assert not led2.already_done({"C": 1, "architecture": [16, 4]})
+    best = led2.find_best_setting("val_score", "max")
+    assert best["C"] == 10
+    best = led2.find_best_setting("val_score", "min")
+    assert best["C"] == 1
+
+
+def test_save_prefix_collision(tmp_path):
+    p1 = engine.get_save_prefix(str(tmp_path), "MMAE", "data.csv")
+    assert p1 == "MMAE-data"
+    open(os.path.join(str(tmp_path), "MMAE-data.csv"), "w").close()
+    p2 = engine.get_save_prefix(str(tmp_path), "MMAE", "data.csv")
+    assert p2 == "MMAE-data2"  # '2'-suffix avoidance (:200-203)
+    p3 = engine.get_save_prefix(str(tmp_path), "MMAE", "data.csv",
+                                replace=True)
+    assert p3 == "MMAE-data"
+
+
+def test_save_prefix_label(tmp_path):
+    p = engine.get_save_prefix(str(tmp_path), "SVM", "d.csv",
+                               wanted_label="daily_happy_label")
+    assert p == "SVM-d-happiness"
+
+
+def test_mmae_sweep_end_to_end(loaders, tmp_path):
+    unsup, sup = loaders
+    sweep = wrappers.MMAESweep(
+        unsup, classification_data_loader=sup,
+        layer_sizes=[[16, 6], [12, 6]], tie_weights=[True, False],
+        dropout_probs=[1.0], weight_penalties=[0.0],
+        activation_funcs=["softsign"], test_variational=True,
+        results_path=str(tmp_path), num_steps=60, num_cross_folds=2,
+        labels_to_predict=["happy_label", "health_label"],
+        svm_Cs=[1.0], svm_gammas=[0.01], verbose=False)
+    # 2 arch x 2 tie x 1 x 1 x 1 = 4 DAE + 2 VAE = 6 settings
+    assert sweep.num_settings == 6
+    best, _, extras = sweep.run()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(df) == 6
+    assert "val_sigmoid_cross_entropy" in df.columns
+    assert df["val_sigmoid_cross_entropy"].notna().all()
+    assert "svm_val_acc" in df.columns
+    assert "svm_val_acc_happy_label" in df.columns
+    assert "svm_noisy_val_auc" in df.columns
+    # the probe must actually produce scores (regression guard: a silent
+    # shape error once zeroed every column)
+    assert df["svm_val_acc"].max() > 0.4
+    assert float(best["val_sigmoid_cross_entropy"]) == pytest.approx(
+        df["val_sigmoid_cross_entropy"].min(), rel=1e-6)
+    assert "svm_val_acc" in extras
+
+
+def test_mmae_sweep_resume_skips_done(loaders, tmp_path):
+    unsup, sup = loaders
+    kwargs = dict(
+        layer_sizes=[[12, 6]], tie_weights=[True],
+        dropout_probs=[1.0, 0.5], weight_penalties=[0.0],
+        activation_funcs=["softsign"], test_variational=False,
+        results_path=str(tmp_path), num_steps=30, num_cross_folds=2,
+        probe=None, verbose=False)
+    s1 = wrappers.MMAESweep(unsup, **kwargs)
+    s1.sweep_all_parameters()
+    assert len(s1.ledger) == 2
+    mtime = os.path.getmtime(s1.ledger.path)
+
+    s2 = wrappers.MMAESweep(unsup, cont=True, **kwargs)
+    assert s2.ledger.started_from == 2
+    s2.sweep_all_parameters()
+    assert len(s2.ledger) == 2  # nothing re-run
+    del mtime
+
+
+def test_classification_sweep_end_to_end(loaders, tmp_path):
+    unsup, sup = loaders
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup,
+        mmae_layer_sizes=[[12, 6]],
+        classification_layer_sizes=[[8], [6, 4]],
+        tie_weights=[True], mmae_dropout_probs=[1.0],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0, 0.5], activation_funcs=["relu"],
+        mmae_num_steps=40, classification_num_steps=40,
+        results_path=str(tmp_path), num_cross_folds=2, verbose=False)
+    # 2 cls archs x 2 cls dropout = 4 settings
+    assert sweep.num_settings == 4
+    results = sweep.run()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(df) == 4
+    for col in ("val_acc", "val_auc", "val_f1", "val_precision",
+                "val_recall", "noisy_val_acc", "clean_val_acc",
+                "val_mmae_loss", "val_acc_happiness", "val_acc_health"):
+        assert col in df.columns, col
+    assert df["val_acc"].between(0, 1).all()
+    assert "val_acc" in results
+
+
+def test_classification_sweep_single_label(loaders, tmp_path):
+    unsup, _ = loaders
+    sup1 = DataLoader(unsup.filename, supervised=True,
+                      cross_validation=True, suppress_output=True,
+                      normalize_and_fill=True, fill_gaps_with=-1.0,
+                      wanted_label="happy_label")
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup1, wanted_label="happy_label",
+        mmae_layer_sizes=[[12, 6]], classification_layer_sizes=[[8]],
+        tie_weights=[True], mmae_dropout_probs=[1.0],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0], activation_funcs=["relu"],
+        mmae_num_steps=30, classification_num_steps=30,
+        results_path=str(tmp_path), num_cross_folds=2, verbose=False)
+    assert sweep.base_cfg.classification_loss == "softmax"
+    sweep.sweep_all_parameters()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(df) == 1
+    assert df["val_acc"].between(0, 1).all()

@@ -158,11 +158,18 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cfg3.layer_sizes == cfg.layer_sizes
 
 
-def test_inert_decay_flag_changes_schedule():
-    cfg, tcfg, spec, train_x, val_x, _ = setup()
-    import optax
-    live = trainer.make_optimizer(tcfg.replace(decay=True))
-    inert = trainer.make_optimizer(
-        tcfg.replace(decay=True, faithful_inert_decay=True))
-    assert isinstance(live, optax.GradientTransformation)
-    assert isinstance(inert, optax.GradientTransformation)
+def test_lr_schedule_and_inert_flag():
+    tcfg = TrainConfig(learning_rate=1e-3, decay=True, decay_steps=1000,
+                       decay_rate=0.95)
+    step = jnp.asarray(2000, jnp.int32)
+    # working decay: lr0 * 0.95^(2000/1000)
+    lr = float(trainer.learning_rate_at(tcfg, step))
+    np.testing.assert_allclose(lr, 1e-3 * 0.95 ** 2, rtol=1e-5)
+    # staircase at a fractional boundary floors the exponent
+    lr_s = float(trainer.learning_rate_at(
+        tcfg.replace(decay_staircase=True), jnp.asarray(1500, jnp.int32)))
+    np.testing.assert_allclose(lr_s, 1e-3 * 0.95, rtol=1e-5)
+    # bug-compatible mode: decay configured but inert (SURVEY §2.8.1)
+    lr_i = float(trainer.learning_rate_at(
+        tcfg.replace(faithful_inert_decay=True), step))
+    np.testing.assert_allclose(lr_i, 1e-3, rtol=1e-6)
