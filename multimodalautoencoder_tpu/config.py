@@ -54,6 +54,10 @@ class MMAEConfig:
     weight_initialization: str = "xavier"
     xavier_const: float = 1.0
     normalization: Optional[str] = "between_0_and_1"
+    # TPU compute precision for matmuls: params/accumulation stay float32,
+    # but with "bfloat16" the MXU operands are cast down (2x peak FLOPs).
+    # No reference analog (TF1 graph is pure f32); parity tests use f32.
+    compute_dtype: str = "float32"
 
     # Structured corruption (multimodal_autoencoder.py:668-702).
     intelligent_noise: bool = True

@@ -126,6 +126,15 @@ def init(rng: Array, cfg: MMAEConfig) -> MMAEParams:
     return MMAEParams(enc_w, enc_b, dec_w, dec_b, var_w, var_b, cls_w, cls_b)
 
 
+def _matmul(x: Array, w: Array, cfg: MMAEConfig) -> Array:
+    """Dense matmul on the MXU.  With compute_dtype='bfloat16' operands
+    are cast down and accumulation stays f32 (preferred_element_type)."""
+    if cfg.compute_dtype == "bfloat16":
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return x @ w
+
+
 def _activate(x: Array, name: str, act_id: Optional[Array]) -> Array:
     if act_id is not None:
         branches = [
@@ -181,8 +190,8 @@ def encode(params: MMAEParams, cfg: MMAEConfig, x: Array, *,
     log_var = None
     for i in range(n):
         if cfg.variational and i == n - 1:
-            log_var = hidden @ params.var_w + params.var_b
-        hidden = hidden @ params.enc_w[i] + params.enc_b[i]
+            log_var = _matmul(hidden, params.var_w, cfg) + params.var_b
+        hidden = _matmul(hidden, params.enc_w[i], cfg) + params.enc_b[i]
         if i < n - 1:
             hidden = _activate(hidden, cfg.activation, act_id)
             if train:
@@ -198,7 +207,7 @@ def decode(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
     ws = _decode_weights(params)
     x = embedding
     for i, w in enumerate(ws):
-        x = x @ w + params.dec_b[i]
+        x = _matmul(x, w, cfg) + params.dec_b[i]
         if i < len(ws) - 1:
             x = _activate(x, cfg.activation, act_id)
             if train:
@@ -219,7 +228,7 @@ def classify(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
     n_dec = len(cfg.layer_sizes)
     x = embedding
     for i, w in enumerate(params.cls_w):
-        x = x @ w + params.cls_b[i]
+        x = _matmul(x, w, cfg) + params.cls_b[i]
         gate = (i < n_dec - 1) if cfg.faithful_classify_gate \
             else (i < len(params.cls_w) - 1)
         if gate:
