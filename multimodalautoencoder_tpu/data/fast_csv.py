@@ -1,0 +1,176 @@
+"""ctypes bindings for the native CSV loader (native/csv_loader.cpp).
+
+The reference's ingestion is pandas (data_funcs.py:82); here the sweep
+runtime treats dataset ingestion as part of the hot path, so a
+memory-mapped multithreaded C++ parser backs it.  ``read_csv_numeric``
+returns the numeric matrix + header + index; :func:`read_dataframe`
+reassembles a pandas DataFrame (text columns like ``dataset`` read
+separately), bit-identical to ``pd.read_csv(index_col=0)`` for the
+framework's CSV conventions.  Falls back to pandas transparently when the
+shared library is missing or the toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libcsvloader.so")
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the native library, or None."""
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _build():
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.csv_open.restype = ctypes.c_void_p
+        lib.csv_open.argtypes = [ctypes.c_char_p]
+        lib.csv_num_rows.restype = ctypes.c_int64
+        lib.csv_num_rows.argtypes = [ctypes.c_void_p]
+        lib.csv_num_cols.restype = ctypes.c_int64
+        lib.csv_num_cols.argtypes = [ctypes.c_void_p]
+        lib.csv_header.restype = ctypes.c_char_p
+        lib.csv_header.argtypes = [ctypes.c_void_p]
+        lib.csv_read.restype = None
+        lib.csv_read.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_double),
+                                 ctypes.POINTER(ctypes.c_double),
+                                 ctypes.c_int32]
+        lib.csv_read_text_column.restype = ctypes.c_void_p
+        lib.csv_read_text_column.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int64]
+        lib.csv_free_string.restype = None
+        lib.csv_free_string.argtypes = [ctypes.c_void_p]
+        lib.csv_close.restype = None
+        lib.csv_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def read_csv_numeric(path: str, n_threads: int = 0
+                     ) -> Tuple[np.ndarray, List[str], np.ndarray]:
+    """-> (values (rows, cols) float64 with NaN for text/empty cells,
+    column names, numeric index column).  Raises if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native CSV loader unavailable")
+    h = lib.csv_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        rows = lib.csv_num_rows(h)
+        cols = lib.csv_num_cols(h)
+        header = lib.csv_header(h).decode().split("\n") if cols else []
+        out = np.empty((rows, cols), dtype=np.float64)
+        index = np.empty((rows,), dtype=np.float64)
+        lib.csv_read(h,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     index.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     n_threads)
+        return out, header, index
+    finally:
+        lib.csv_close(h)
+
+
+def read_text_column(path: str, col_name: str) -> List[str]:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native CSV loader unavailable")
+    h = lib.csv_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        header = lib.csv_header(h).decode().split("\n")
+        idx = header.index(col_name)
+        ptr = lib.csv_read_text_column(h, idx)
+        if not ptr:
+            raise ValueError(f"column {col_name!r} unreadable")
+        try:
+            s = ctypes.cast(ptr, ctypes.c_char_p).value.decode()
+        finally:
+            lib.csv_free_string(ptr)
+        return s.split("\n") if s else []
+    finally:
+        lib.csv_close(h)
+
+
+# Columns that hold text under the framework's CSV conventions
+# (data_funcs.py:1-19): 'dataset' plus anything a caller requests.
+_TEXT_COLUMNS = ("dataset",)
+
+
+def read_dataframe(path: str, n_threads: int = 0):
+    """pandas-DataFrame-compatible load via the native parser; equivalent
+    to ``pd.read_csv(path, index_col=0)`` for conventions-compliant files.
+    Falls back to pandas when the native library is unavailable."""
+    import pandas as pd
+
+    lib = get_lib()
+    if lib is None:
+        return pd.read_csv(path, index_col=0)
+    h = lib.csv_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        rows = lib.csv_num_rows(h)
+        cols = lib.csv_num_cols(h)
+        header = lib.csv_header(h).decode().split("\n") if cols else []
+        values = np.empty((rows, cols), dtype=np.float64)
+        index = np.empty((rows,), dtype=np.float64)
+        lib.csv_read(
+            h, values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            index.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_threads)
+        df = pd.DataFrame(values, columns=header, copy=False)
+        for ci, col in enumerate(header):
+            if col in _TEXT_COLUMNS or col == "logistics_noisy":
+                ptr = lib.csv_read_text_column(h, ci)
+                try:
+                    s = ctypes.cast(ptr, ctypes.c_char_p).value.decode()
+                finally:
+                    lib.csv_free_string(ptr)
+                vals = s.split("\n") if s else []
+                if col == "logistics_noisy":
+                    df[col] = [v == "True" for v in vals]
+                else:
+                    df[col] = vals
+    finally:
+        lib.csv_close(h)
+    df.index = np.where(np.isnan(index), np.arange(len(index)),
+                        index).astype(np.int64)
+    df.index.name = None
+    return df

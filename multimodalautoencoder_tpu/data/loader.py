@@ -38,8 +38,15 @@ class DataLoader:
                  separate_noisy_data: bool = True,
                  num_folds: int = pp.NUM_CROSS_VAL_FOLDS,
                  seed: int = 0,
-                 persist_cv_folds: bool = True):
-        """See data_funcs.py:30-131 for the argument contract."""
+                 persist_cv_folds: bool = True,
+                 engine: str = "pandas"):
+        """See data_funcs.py:30-131 for the argument contract.
+
+        ``engine``: 'pandas' or 'native' — the native engine uses the
+        memory-mapped C++ parser (native/csv_loader.cpp) with
+        correctly-rounded float parsing; it falls back to pandas when the
+        shared library is unavailable.
+        """
         self.filename = filename
         self.supervised = supervised
         self.normalize_and_fill = normalize_and_fill
@@ -57,7 +64,11 @@ class DataLoader:
         self._seed = seed
 
         # pd.DataFrame.from_csv == read_csv(index_col=0) (data_funcs.py:82)
-        self.df = pd.read_csv(filename, index_col=0)
+        if engine == "native":
+            from multimodalautoencoder_tpu.data import fast_csv
+            self.df = fast_csv.read_dataframe(filename)
+        else:
+            self.df = pd.read_csv(filename, index_col=0)
         if self.cross_validation:
             had_folds = "logistics_cv_fold" in self.df.columns.values
             self.df = pp.assign_cross_val_folds(self.df, num_folds, seed)
