@@ -1,0 +1,132 @@
+"""High-level MultimodalAutoencoder facade (reference API parity)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodalautoencoder_tpu.api import MultimodalAutoencoder
+from multimodalautoencoder_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    return synthetic.write_csv(
+        str(tmp_path_factory.mktemp("d") / "api.csv"), num_rows=260,
+        seed=6, label_names=("happy_label", "health_label"))
+
+
+@pytest.fixture(scope="module")
+def model(csv_path, tmp_path_factory):
+    m = MultimodalAutoencoder(
+        filename=csv_path, layer_sizes=[24, 8], variational=False,
+        tie_weights=True, learning_rate=1e-3, batch_size=16,
+        normalization="between_0_and_1", verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")))
+    m.train(num_steps=300, record_every_nth=100)
+    return m
+
+
+def test_vae_overrides():
+    """VAE forces untied weights / 0-1 norm / sigmoid-CE (:174-179)."""
+    import pandas as pd
+    df = synthetic.make_dataframe(num_rows=60, seed=0)
+    path = "/tmp/api_vae.csv"
+    df.to_csv(path)
+    m = MultimodalAutoencoder(filename=path, layer_sizes=[8, 4],
+                              variational=True, tie_weights=True,
+                              loss_func="mean_squared", verbose=False,
+                              normalize_and_fill=True, fill_gaps_with=-1.0)
+    assert m.cfg.tie_weights is False
+    assert m.cfg.loss == "sigmoid_cross_entropy"
+    del pd
+
+
+def test_train_records_curves(model):
+    assert len(model.train_loss) == 3
+    assert len(model.val_loss) == 3
+    assert model.val_loss[-1] < model.val_loss[0]
+
+
+def test_predict_and_performance(model):
+    X = model.data_loader.val_X
+    recon, loss = model.predict(X)
+    assert recon.shape == X.shape
+    assert np.isfinite(loss)
+    assert model.get_performance_on_data(X) == pytest.approx(loss)
+    noisy_loss = model.get_performance_on_data_with_noise(X)
+    assert noisy_loss > loss
+    assert np.isfinite(model.test_on_validation())
+    assert np.isfinite(model.test_on_test())
+
+
+def test_add_noise_forced_modes(model):
+    X = model.data_loader.val_X[:8]
+    noisy = model.add_noise_to_batch(X, missing_modes=["location"])
+    s, e = model.data_loader.modality_table.span(
+        model.data_loader.modality_names.index("location"))
+    assert (noisy[:, s:e] == -1.0).all()
+
+
+def test_embedding_and_per_modality(model):
+    X = model.data_loader.val_X[:20]
+    emb = model.get_embedding(X)
+    assert emb.shape == (20, model.embedding_size)
+    rms = model.get_reconstruction_loss_per_modality(X)
+    assert len(rms) == model.data_loader.num_modalities
+    assert all(np.isfinite(r) for r in rms)
+
+
+def test_save_load_roundtrip(model):
+    path = model.save_model()
+    assert os.path.exists(path)
+    X = model.data_loader.val_X[:5]
+    recon1, _ = model.predict(X)
+    m2 = MultimodalAutoencoder(
+        data_loader=model.data_loader, layer_sizes=[24, 8],
+        variational=False, verbose=False,
+        checkpoint_dir=model.checkpoint_dir)
+    m2.load_saved_model()
+    recon2, _ = m2.predict(X)
+    np.testing.assert_allclose(recon1, recon2, rtol=1e-6)
+    assert len(m2.train_loss) == len(model.train_loss)
+
+
+def test_file_tools_through_facade(model, csv_path, tmp_path):
+    out = model.convert_file_to_embeddings(os.path.basename(csv_path),
+                                           path=os.path.dirname(csv_path))
+    assert os.path.exists(out)
+    import pandas as pd
+    assert "ae_embedding_dim0" in pd.read_csv(out).columns
+
+
+def test_plots_headless(model, tmp_path):
+    p = str(tmp_path / "curves.png")
+    model.plot_training_progress(show=False, save_path=p)
+    assert os.path.exists(p)
+    p2 = str(tmp_path / "recon.png")
+    model.view_reconstruction(model.data_loader.val_X, show=False,
+                              save_path=p2)
+    assert os.path.exists(p2)
+
+
+def test_two_phase_classification(csv_path, tmp_path):
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+
+    sup = DataLoader(csv_path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=csv_path, layer_sizes=[16, 6],
+        classification_layer_sizes=[8], variational=False,
+        learning_rate=1e-3, batch_size=16,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    m.set_classification_params(learning_rate=1e-3, batch_size=32)
+    m.train(num_steps=200, record_every_nth=100)
+    m.train_classification(num_steps=200, record_every_nth=100)
+    assert len(m.val_acc) == 2
+    preds = m.get_classification_predictions(sup.val_X)
+    assert preds.shape == (len(sup.val_X), 2)
+    df = m.get_classification_predictions_from_df()
+    assert "predictions_happy_label" in df.columns
