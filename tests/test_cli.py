@@ -1,0 +1,68 @@
+"""CLI subcommands end-to-end on the CPU mesh."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from multimodalautoencoder_tpu import cli
+from multimodalautoencoder_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    return synthetic.write_csv(
+        str(tmp_path_factory.mktemp("d") / "c.csv"), num_rows=200, seed=8)
+
+
+def test_train_fill_embed(csv_path, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    rc = cli.main(["train", csv_path, "--arch", "12", "6",
+                   "--num-steps", "60", "--learning-rate", "1e-3",
+                   "--batch-size", "8", "--normalize-and-fill",
+                   "--checkpoint-dir", ckpt_dir])
+    assert rc == 0
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith(".npz")]
+    assert len(ckpts) == 1
+    ckpt = os.path.join(ckpt_dir, ckpts[0])
+
+    rc = cli.main(["fill", csv_path, "--checkpoint", ckpt,
+                   "--normalize-and-fill"])
+    assert rc == 0
+    filled = os.path.join(os.path.dirname(csv_path),
+                          "MMAE_filled-" + os.path.basename(csv_path))
+    assert os.path.exists(filled)
+
+    rc = cli.main(["embed", csv_path, "--checkpoint", ckpt,
+                   "--normalize-and-fill"])
+    assert rc == 0
+    emb = os.path.join(os.path.dirname(csv_path),
+                       "embedding-" + os.path.basename(csv_path))
+    assert "ae_embedding_dim0" in pd.read_csv(emb).columns
+
+
+def test_baseline_cli(csv_path, tmp_path):
+    rc = cli.main(["baseline", "lr", csv_path, "happy_label",
+                   "--results-path", str(tmp_path), "--folds", "2",
+                   "--normalize-and-fill"])
+    assert rc == 0
+    out = [f for f in os.listdir(tmp_path) if f.startswith("LR-")]
+    assert out
+
+
+def test_feature_select_cli(csv_path):
+    rc = cli.main(["feature-select", csv_path, "pca", "5",
+                   "--fill-missing", "0.0"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(
+        os.path.dirname(csv_path), "pca_" + os.path.basename(csv_path)))
+
+
+def test_jobs_cli(tmp_path):
+    jf = tmp_path / "jobs.txt"
+    jf.write_text(f"A\necho hi\n{tmp_path}/a.txt\n")
+    rc = cli.main(["jobs", str(jf), "--min-seconds", "0"])
+    assert rc == 0
+    jf2 = tmp_path / "jobs2.txt"
+    jf2.write_text(f"B\nexit 2\n{tmp_path}/b.txt\n")
+    assert cli.main(["jobs", str(jf2), "--min-seconds", "0"]) == 1
