@@ -58,6 +58,10 @@ class MMAEConfig:
     # but with "bfloat16" the MXU operands are cast down (2x peak FLOPs).
     # No reference analog (TF1 graph is pure f32); parity tests use f32.
     compute_dtype: str = "float32"
+    # Route dense layers through the Pallas fused matmul+bias+activation
+    # kernel (ops/pallas_kernels.py).  Static-activation paths only (the
+    # act_id lax.switch path keeps XLA matmuls).
+    use_pallas: bool = False
 
     # Structured corruption (multimodal_autoencoder.py:668-702).
     intelligent_noise: bool = True

@@ -186,17 +186,25 @@ def encode(params: MMAEParams, cfg: MMAEConfig, x: Array, *,
            ) -> Tuple[Array, Optional[Array]]:
     """Encoder forward (:454-475). Returns (mu, log_var|None)."""
     n = len(params.enc_w)
+    use_pallas = cfg.use_pallas and act_id is None
     hidden = x
     log_var = None
     for i in range(n):
         if cfg.variational and i == n - 1:
             log_var = _matmul(hidden, params.var_w, cfg) + params.var_b
-        hidden = _matmul(hidden, params.enc_w[i], cfg) + params.enc_b[i]
-        if i < n - 1:
-            hidden = _activate(hidden, cfg.activation, act_id)
-            if train:
-                hidden = _dropout(jax.random.fold_in(rng, i), hidden,
-                                  keep_prob)
+        if use_pallas:
+            from multimodalautoencoder_tpu.ops import pallas_kernels
+            act = cfg.activation if i < n - 1 else "linear"
+            hidden = pallas_kernels.fused_dense(
+                hidden, params.enc_w[i], params.enc_b[i], act,
+                bf16=cfg.compute_dtype == "bfloat16")
+        else:
+            hidden = _matmul(hidden, params.enc_w[i], cfg) + params.enc_b[i]
+            if i < n - 1:
+                hidden = _activate(hidden, cfg.activation, act_id)
+        if i < n - 1 and train:
+            hidden = _dropout(jax.random.fold_in(rng, i), hidden,
+                              keep_prob)
     return hidden, log_var
 
 
@@ -205,13 +213,21 @@ def decode(params: MMAEParams, cfg: MMAEConfig, embedding: Array, *,
            act_id: Optional[Array] = None) -> Array:
     """Decoder forward (:499-518). Raw output (logits for sigmoid-CE)."""
     ws = _decode_weights(params)
+    use_pallas = cfg.use_pallas and act_id is None
     x = embedding
     for i, w in enumerate(ws):
-        x = _matmul(x, w, cfg) + params.dec_b[i]
-        if i < len(ws) - 1:
-            x = _activate(x, cfg.activation, act_id)
-            if train:
-                x = _dropout(jax.random.fold_in(rng, 100 + i), x, keep_prob)
+        if use_pallas:
+            from multimodalautoencoder_tpu.ops import pallas_kernels
+            act = cfg.activation if i < len(ws) - 1 else "linear"
+            x = pallas_kernels.fused_dense(
+                x, w, params.dec_b[i], act,
+                bf16=cfg.compute_dtype == "bfloat16")
+        else:
+            x = _matmul(x, w, cfg) + params.dec_b[i]
+            if i < len(ws) - 1:
+                x = _activate(x, cfg.activation, act_id)
+        if i < len(ws) - 1 and train:
+            x = _dropout(jax.random.fold_in(rng, 100 + i), x, keep_prob)
     return x
 
 
