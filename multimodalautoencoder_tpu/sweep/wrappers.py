@@ -18,6 +18,7 @@ clipping but both are inert bugs (SURVEY §2.8.1-2); here they work, with
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -74,7 +75,13 @@ class MMAESweep:
                  svm_Cs: Sequence[float] = (1.0, 10.0, 100.0),
                  svm_gammas: Sequence[float] = (0.01, 0.001),
                  mesh=None, save_results_every_nth: int = 1,
-                 seed: int = 0, verbose: bool = True):
+                 seed: int = 0, verbose: bool = True,
+                 process_shard=None, save_best_params: bool = False):
+        """``process_shard``: optional (process_index, process_count) for
+        multi-host DCN scale-out — this host sweeps only its round-robin
+        slice of the grid and writes a shard ledger
+        (parallel/multihost.py).  ``save_best_params``: checkpoint the
+        best setting's fold-0 parameters at the end of the sweep."""
         from multimodalautoencoder_tpu.utils.cache import \
             enable_persistent_cache
         enable_persistent_cache()
@@ -82,6 +89,9 @@ class MMAESweep:
         self.cls_loader = classification_data_loader
         self.num_cross_folds = num_cross_folds
         self.check_test = check_test
+        self.process_shard = process_shard
+        self.save_best_params = save_best_params
+        self._best_saved = None   # (loss, setting, host params)
         self.probe = probe if classification_data_loader is not None else None
         self.svm_Cs = svm_Cs
         self.svm_gammas = svm_gammas
@@ -116,12 +126,20 @@ class MMAESweep:
         settings = grid_lib.enumerate_grid(params)
         if test_variational:
             settings = grid_lib.add_extra_vae_params(settings)
+        if process_shard is not None:
+            from multimodalautoencoder_tpu.parallel import multihost
+            settings = multihost.partition_settings(
+                settings, process_shard[0], process_shard[1])
         self.list_of_param_settings = settings
         self.num_settings = len(settings)
 
         prefix = engine.get_save_prefix(
             results_path, classifier_name,
             getattr(data_loader, "filename", "data.csv"), replace=cont)
+        if process_shard is not None:
+            from multimodalautoencoder_tpu.parallel import multihost
+            prefix = multihost.shard_ledger_path(
+                results_path, prefix, process_shard[0], process_shard[1])
         self.ledger = engine.ResultsLedger(
             results_path, prefix, cont=cont,
             save_every_nth=save_results_every_nth)
@@ -291,6 +309,18 @@ class MMAESweep:
                 probe_rows = self._svm_probe_bucket(params, cfg, hyper,
                                                     len(bucket))
 
+            if self.save_best_params:
+                mean_losses = losses.mean(axis=1)
+                c_best = int(np.argmin(mean_losses))
+                if (self._best_saved is None
+                        or mean_losses[c_best] < self._best_saved[0]):
+                    # fold-0 slice only; pull to host (the tunnel's
+                    # device->host path is slow, so only the winner moves)
+                    host = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a[c_best, 0]), params)
+                    self._best_saved = (float(mean_losses[c_best]),
+                                        dict(bucket[c_best]), host, cfg)
+
             for c, setting in enumerate(bucket):
                 row = dict(setting)
                 row[self.optimize_for] = float(np.mean(losses[c]))
@@ -303,6 +333,21 @@ class MMAESweep:
                       f"({len(bucket)} settings x {self.num_cross_folds} "
                       f"folds): {time.time() - t0:.1f}s; {est.summary()}")
         self.ledger.flush()
+        if self.save_best_params and self._best_saved is not None:
+            from multimodalautoencoder_tpu.train import checkpoint as ck
+            loss, setting, host_params, cfg = self._best_saved
+            path = ck.save_checkpoint(
+                os.path.dirname(self.ledger.path), "best_mmae",
+                host_params,
+                cfg.replace(
+                    dropout_prob=float(setting.get("dropout_prob", 1.0)),
+                    weight_penalty=float(setting.get("weight_penalty",
+                                                     0.0)),
+                    activation=setting.get("activation_function",
+                                           cfg.activation)),
+                step=self.tcfg.num_steps)
+            if self.verbose:
+                print(f"saved best params (loss {loss:.4f}) -> {path}")
 
     def find_best_setting(self, optimize_for=None, min_or_max=None):
         return self.ledger.find_best_setting(
