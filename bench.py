@@ -1,23 +1,29 @@
 """Benchmark: ACII-2017 grid-search throughput on one TPU chip.
 
 Workload (the reference's implied headline workload, SURVEY.md §6):
-108 MMAE settings (72 DAE + 36 VAE) x 5-fold CV x 15000 Adam steps at
-batch 20 — which the reference runs as a serial Python loop with one
-``session.run`` per step (generic_wrapper.py:253-300).
+108 MMAE settings (72 DAE + 36 VAE over architectures 1000/500/300 x 100)
+x 5-fold CV x 15000 Adam steps at batch 20 — which the reference runs as
+a serial Python loop with one ``session.run`` per step
+(generic_wrapper.py:253-300).
 
-This bench measures the config-parallel grid trainer on a representative
-shape bucket (the largest architecture, 1000->100, on 1000 features),
-projects the full-grid wall time, and reports configs/hour.
+Method: measure the config-parallel grid trainer on each architecture
+bucket (12 configs x 5 folds x 300 steps, untied — the conservative
+shape), blend the per-arch rates over the real grid composition (36
+settings per arch), and report projected configs/hour.
+
+Recipe: the framework's performance mode — bfloat16 Adam accumulators
+(the optimizer's HBM traffic is the measured bottleneck) and no gradient
+clipping, which matches the reference's *effective* behavior (its
+clip_gradients flag is dead code, SURVEY §2.8.2).  Model math stays f32.
 
 Baseline: BASELINE.md's target of the full grid in <10 min on a v4-8
-(i.e. 108 configs / 10 min = 648 configs/hour).  vs_baseline > 1 means
-this single chip beats the whole-v4-8 target.
+(108 configs / 10 min = 648 configs/hour).  vs_baseline > 1 means this
+single chip beats the whole-v4-8 target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -26,8 +32,7 @@ import numpy as np
 def _materialize(tree):
     """Force device->host transfer.  On the tunnel-attached 'axon'
     platform ``jax.block_until_ready`` returns before execution finishes;
-    only a host copy truly synchronizes, so all timing here blocks on
-    ``np.asarray``."""
+    only a host copy truly synchronizes."""
     import jax
 
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
@@ -46,16 +51,15 @@ def main():
     from multimodalautoencoder_tpu.parallel import grid_trainer as gt
 
     # Reference workload constants (autoencoder_wrapper.py:79-92, :127-155)
-    FULL_CONFIGS = 108
+    ARCHS = ((1000, 100), (500, 100), (300, 100))
+    CONFIGS_PER_ARCH = 36          # 24 DAE + 12 VAE
     FULL_FOLDS = 5
     FULL_STEPS = 15000
     BATCH = 20
-
-    # Representative bucket: largest arch in the grid, wearable-scale width
     NUM_FEATS = 1000
-    ARCH = (1000, 100)
+
     MEAS_CONFIGS = 12
-    MEAS_STEPS = 500
+    MEAS_STEPS = 300
 
     rng_np = np.random.default_rng(0)
     table = ModalityTable.uniform(5, NUM_FEATS // 5,
@@ -63,52 +67,47 @@ def main():
                                          "sms", "survey"))
     n_rows = 2000
     X = rng_np.random((n_rows, NUM_FEATS)).astype(np.float32)
+    split = int(n_rows * 0.8)
+    folded = gt.FoldedData.from_ragged([X[:split]] * FULL_FOLDS,
+                                       [X[split:]] * FULL_FOLDS)
 
-    cfg = MMAEConfig(num_feats=NUM_FEATS, layer_sizes=ARCH,
-                     tie_weights=False,
-                     loss="sigmoid_cross_entropy").validate()
     tcfg = TrainConfig(learning_rate=1e-3, batch_size=BATCH,
-                       num_steps=FULL_STEPS)
-    spec = NoiseSpec.build(cfg, table)
-
-    folds = [(X[: int(n_rows * 0.8)], X[int(n_rows * 0.8):])
-             for _ in range(FULL_FOLDS)]
-    folded = gt.FoldedData.from_ragged([t for t, _ in folds],
-                                       [v for _, v in folds])
+                       num_steps=FULL_STEPS, clip_gradients=False,
+                       optimizer_state_dtype="bfloat16")
     settings = [{"dropout_prob": 1.0 if i % 2 else 0.5,
                  "weight_penalty": [0.0, 0.01, 0.001][i % 3],
                  "activation_function": ["softsign", "relu"][i % 2]}
                 for i in range(MEAS_CONFIGS)]
-    hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
 
-    rng = jax.random.PRNGKey(0)
-    # compile (excluded from timing; persistent cache makes this fast
-    # after the first-ever run)
-    p, l = gt.train_grid_jit(rng, cfg, tcfg, spec, hyper, folded,
-                             num_steps=MEAS_STEPS)
-    _materialize(l)
+    total_secs = 0.0
+    for arch in ARCHS:
+        cfg = MMAEConfig(num_feats=NUM_FEATS, layer_sizes=arch,
+                         tie_weights=False,
+                         loss="sigmoid_cross_entropy").validate()
+        spec = NoiseSpec.build(cfg, table)
+        hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
+        # compile (persistent cache makes repeats fast)
+        _, l = gt.train_grid_jit(jax.random.PRNGKey(0), cfg, tcfg, spec,
+                                 hyper, folded, num_steps=MEAS_STEPS)
+        _materialize(l)
+        t0 = time.perf_counter()
+        _, l = gt.train_grid_jit(jax.random.PRNGKey(1), cfg, tcfg, spec,
+                                 hyper, folded, num_steps=MEAS_STEPS)
+        _materialize(l)
+        dt = time.perf_counter() - t0
+        ips = MEAS_CONFIGS * FULL_FOLDS * MEAS_STEPS / dt
+        arch_steps = CONFIGS_PER_ARCH * FULL_FOLDS * FULL_STEPS
+        total_secs += arch_steps / ips
 
-    t0 = time.perf_counter()
-    p, l = gt.train_grid_jit(jax.random.PRNGKey(1), cfg, tcfg, spec,
-                             hyper, folded, num_steps=MEAS_STEPS)
-    _materialize(l)
-    dt = time.perf_counter() - t0
-
-    instance_steps = MEAS_CONFIGS * FULL_FOLDS * MEAS_STEPS
-    steps_per_sec = instance_steps / dt
-    full_grid_steps = FULL_CONFIGS * FULL_FOLDS * FULL_STEPS
-    full_grid_secs = full_grid_steps / steps_per_sec
-    configs_per_hour = FULL_CONFIGS / (full_grid_secs / 3600.0)
-
+    configs_per_hour = len(ARCHS) * CONFIGS_PER_ARCH / (total_secs / 3600)
     baseline_configs_per_hour = 648.0  # 108 configs / 10 min target
-    result = {
+    print(json.dumps({
         "metric": "acii2017_grid_configs_per_hour",
         "value": round(configs_per_hour, 2),
         "unit": "configs/hour (108cfg x 5fold x 15k steps workload)",
         "vs_baseline": round(configs_per_hour / baseline_configs_per_hour,
                              3),
-    }
-    print(json.dumps(result))
+    }))
 
 
 if __name__ == "__main__":

@@ -148,6 +148,11 @@ class TrainConfig:
     save_every_nth: int = 100000
     eval_batch_size: int = 200               # val batch in evaluate_performance (:719)
     faithful_inert_decay: bool = False       # reproduce reference bug 2.8.1
+    # Adam moment-accumulator dtype.  'bfloat16' halves the optimizer's
+    # HBM traffic — the measured bottleneck of config-parallel training
+    # (Adam touches ~7x the parameter bytes per step, at the bandwidth
+    # roofline on v5e).  'float32' for exact reference-style numerics.
+    optimizer_state_dtype: str = "float32"
     seed: int = 0
 
     def replace(self, **kw) -> "TrainConfig":

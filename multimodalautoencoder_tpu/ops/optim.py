@@ -28,10 +28,17 @@ class AdamState(NamedTuple):
     nu: object     # pytree like params
 
 
-def adam_init(params) -> AdamState:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros,
-                     nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+def adam_init(params, state_dtype=None) -> AdamState:
+    """``state_dtype``: dtype for the first/second-moment accumulators.
+    bfloat16 halves the optimizer's HBM traffic — the measured bottleneck
+    of config-parallel training on v5e (Adam moves ~7x the parameter
+    bytes per step and runs at the bandwidth roofline)."""
+    def z(p):
+        return jnp.zeros(p.shape, state_dtype or p.dtype)
+
+    return AdamState(count=jnp.zeros((), jnp.int32),
+                     mu=jax.tree_util.tree_map(z, params),
+                     nu=jax.tree_util.tree_map(z, params))
 
 
 def global_norm(tree) -> Array:
@@ -51,19 +58,27 @@ def adam_update(grads, state: AdamState, params, lr,
                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                 clip_norm: Optional[object] = None):
     """One Adam step.  ``lr`` and ``clip_norm`` may be traced scalars
-    (per-config hyperparameters under vmap).  Returns (params, state)."""
+    (per-config hyperparameters under vmap).  Returns (params, state).
+
+    Moment accumulators keep whatever dtype ``adam_init`` gave them
+    (bf16 state computes the update in f32 and stores back down).
+    """
     if clip_norm is not None:
         grads = clip_by_global_norm(grads, clip_norm)
     count = state.count + 1
     cf = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** cf
     bc2 = 1.0 - b2 ** cf
-    mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
-                                state.mu, grads)
-    nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                                state.nu, grads)
+
+    mu = jax.tree_util.tree_map(
+        lambda m, g: (b1 * m.astype(jnp.float32)
+                      + (1 - b1) * g).astype(m.dtype), state.mu, grads)
+    nu = jax.tree_util.tree_map(
+        lambda v, g: (b2 * v.astype(jnp.float32)
+                      + (1 - b2) * g * g).astype(v.dtype), state.nu, grads)
     new_params = jax.tree_util.tree_map(
-        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+        lambda p, m, v: p - lr * (m.astype(jnp.float32) / bc1)
+        / (jnp.sqrt(v.astype(jnp.float32) / bc2) + eps),
         params, mu, nu)
     return new_params, AdamState(count=count, mu=mu, nu=nu)
 

@@ -204,8 +204,10 @@ def _train_one_instance(rng: Array, hyper: dict, cfg: MMAEConfig,
     """
     k_init, k_run = jax.random.split(rng)
     params = mmae.init(k_init, cfg)
-    state = (params, optim.adam_init(params), jnp.zeros((), jnp.int32),
-             k_run)
+    sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
+        else None
+    state = (params, optim.adam_init(params, sdt),
+             jnp.zeros((), jnp.int32), k_run)
 
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
 
@@ -360,8 +362,10 @@ def _train_classification_instance(rng: Array, params, enc_act_id: Array,
     (multimodal_autoencoder.py:606-647): noisy supervised batches ->
     classification loss -> Adam over all upstream params.  Returns
     (params, val predictions on the padded fold-val set)."""
-    state = (params, optim.adam_init(params), jnp.zeros((), jnp.int32),
-             rng)
+    sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
+        else None
+    state = (params, optim.adam_init(params, sdt),
+             jnp.zeros((), jnp.int32), rng)
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
 
     def one_step(carry, _):

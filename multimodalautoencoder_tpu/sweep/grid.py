@@ -94,7 +94,8 @@ def convert_param_dict_for_use(setting: Dict[str, Any]) -> Dict[str, Any]:
     integer batch sizes.  (The reference's version references ``tf``
     without importing it — §2.8.6; here optimizer strings map to names.)"""
     s = dict(setting)
-    for key in ("architecture", "classification_layer_sizes"):
+    for key in ("architecture", "mmae_architecture",
+                "classification_layers", "classification_layer_sizes"):
         if key in s and isinstance(s[key], str):
             s[key] = ast.literal_eval(s[key])
     if "batch_size" in s and s["batch_size"] is not None:

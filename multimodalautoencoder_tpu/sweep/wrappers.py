@@ -321,11 +321,13 @@ class MMAESweep:
                     self._best_saved = (float(mean_losses[c_best]),
                                         dict(bucket[c_best]), host, cfg)
 
+            bucket_secs = time.time() - t0
             for c, setting in enumerate(bucket):
                 row = dict(setting)
                 row[self.optimize_for] = float(np.mean(losses[c]))
                 if probe_rows is not None:
                     row.update(probe_rows[c])
+                row["time_per_setting_s"] = bucket_secs / len(bucket)
                 self.ledger.append(row)
             est.record(time.time() - t0, batch=len(bucket))
             if self.verbose:
@@ -591,19 +593,32 @@ class MMAEClassificationSweep:
 
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
             k1, k2 = jax.random.split(rng)
+            C = len(bucket)
+            n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
+            padded = mesh_lib.pad_to_multiple(C, n_dev)
+            hyper_p = mesh_lib.shard_leading_axis(hyper.pad_to(padded),
+                                                  self.mesh)
+            chyper_p = mesh_lib.shard_leading_axis(chyper.pad_to(padded),
+                                                   self.mesh)
+            unsup = jax.device_put(self.unsup_folded,
+                                   mesh_lib.replicated(self.mesh))
+            sup = jax.device_put(self.sup_folded,
+                                 mesh_lib.replicated(self.mesh))
             params, losses = gt.train_grid_jit(
-                k1, cfg, self.tcfg, self.spec, hyper, self.unsup_folded)
+                k1, cfg, self.tcfg, self.spec, hyper_p, unsup)
             params, preds = gt.train_classification_grid_jit(
-                k2, cfg, self.cls_tcfg, self.spec, params, hyper, chyper,
-                self.sup_folded)
-            losses = np.asarray(losses)
-            preds = np.asarray(preds)
+                k2, cfg, self.cls_tcfg, self.spec, params, hyper_p,
+                chyper_p, sup)
+            losses = np.asarray(losses)[:C]
+            preds = np.asarray(preds)[:C]
 
             metric_rows = self._metric_rows(preds, len(bucket))
+            bucket_secs = time.time() - t0
             for c, setting in enumerate(bucket):
                 row = dict(setting)
                 row["val_mmae_loss"] = float(np.mean(losses[c]))
                 row.update(metric_rows[c])
+                row["time_per_setting_s"] = bucket_secs / len(bucket)
                 self.ledger.append(row)
             est.record(time.time() - t0, batch=len(bucket))
             if self.verbose:
@@ -612,13 +627,102 @@ class MMAEClassificationSweep:
                       f"{est.summary()}")
         self.ledger.flush()
 
+    def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:
+        """Held-out test evaluation for a setting: retrain both phases on
+        fold 0, predict the classification test set, full metric battery
+        with noisy/clean slices.
+
+        The reference's automated test path is broken (NameError at
+        autoencoder_classification_wrapper.py:369, undefined optimize_for
+        at generic_wrapper.py:358 — SURVEY §2.8.6); this is the working
+        implementation of its intent.
+        """
+        import jax.numpy as jnp
+
+        from multimodalautoencoder_tpu.models import losses as losses_lib
+        from multimodalautoencoder_tpu.models import mmae as mmae_lib
+        from multimodalautoencoder_tpu.ops import metrics as metrics_lib
+        from multimodalautoencoder_tpu.train import trainer
+
+        setting = grid_lib.convert_param_dict_for_use(dict(setting))
+        cfg = self._cfg_for_bucket(setting).replace(
+            dropout_prob=float(setting.get("mmae_dropout_prob", 1.0)),
+            weight_penalty=float(setting.get("mmae_weight_penalty", 0.0)),
+            activation=setting.get("mmae_activation_function", "relu"),
+            classification_activation=setting.get("activation_func"),
+            classification_weight_penalty=float(
+                setting.get("weight_penalty", 0.0)))
+
+        self.data_loader.set_to_cross_validation_fold(0)
+        self.cls_loader.set_to_cross_validation_fold(0)
+        arr = self.data_loader.device_arrays()
+        cls_arr = self.cls_loader.device_arrays()
+        spec = self.spec
+
+        state = trainer.init_state(jax.random.PRNGKey(self.seed), cfg,
+                                   self.tcfg)
+        state, _ = trainer.train_jit(state, cfg, self.tcfg, spec,
+                                     arr["train_x"], arr["val_x"])
+        cls_tcfg = self.cls_tcfg
+        state2 = trainer.TrainState(
+            params=state.params,
+            opt_state=trainer.optim.adam_init(state.params),
+            step=jnp.zeros((), jnp.int32), rng=state.rng)
+        state2, _ = trainer.train_classification_jit(
+            state2, cfg, cls_tcfg, spec, cls_arr["train_x"],
+            cls_arr["train_y"], cls_arr["val_x"], cls_arr["val_y"])
+
+        test_x = cls_arr["test_x"]
+        out = mmae_lib.forward(state2.params, cfg, test_x,
+                               rng=jax.random.PRNGKey(1), keep_prob=1.0,
+                               train=False)
+        logits = mmae_lib.classify(state2.params, cfg, out.embedding,
+                                   keep_prob=1.0, train=False)
+        preds = np.asarray(losses_lib.classification_predictions(
+            cfg.classification_loss, logits))
+
+        y = np.asarray(self.cls_loader.test_Y, dtype=float)
+        p2 = preds.reshape(-1).astype(float)
+        y2 = y.reshape(-1)
+        m = metrics_lib.all_classification_metrics(
+            jnp.asarray(p2, jnp.float32), jnp.asarray(y2, jnp.float32))
+        result = {f"test_{k}": float(v) for k, v in m.items()}
+
+        if self.check_noisy_data and "logistics_noisy" in \
+                self.cls_loader.df.columns:
+            for slice_name, X_s, Y_s in (
+                    ("noisy", self.cls_loader.noisy_test_X,
+                     self.cls_loader.noisy_test_Y),
+                    ("clean", self.cls_loader.clean_test_X,
+                     self.cls_loader.clean_test_Y)):
+                if len(X_s) == 0:
+                    continue
+                xs = jnp.asarray(np.asarray(X_s), jnp.float32)
+                o = mmae_lib.forward(state2.params, cfg, xs,
+                                     rng=jax.random.PRNGKey(1),
+                                     keep_prob=1.0, train=False)
+                lg = mmae_lib.classify(state2.params, cfg, o.embedding,
+                                       keep_prob=1.0, train=False)
+                ps = np.asarray(losses_lib.classification_predictions(
+                    cfg.classification_loss, lg)).reshape(-1)
+                ys = np.asarray(Y_s, dtype=float).reshape(-1)
+                ms = metrics_lib.all_classification_metrics(
+                    jnp.asarray(ps, jnp.float32),
+                    jnp.asarray(ys, jnp.float32))
+                result[f"{slice_name}_test_acc"] = float(ms["acc"])
+                result[f"{slice_name}_test_auc"] = float(ms["auc"])
+        return result
+
     def get_final_results(self):
         """Best settings for val_acc / noisy_val_acc / clean_val_acc
-        (generic_wrapper.py:514-522)."""
+        (generic_wrapper.py:514-522), plus working held-out test
+        evaluation when check_test is set."""
         out = {}
         for metric in ("val_acc", "noisy_val_acc", "clean_val_acc"):
             if metric in self.ledger.df.columns:
                 out[metric] = self.ledger.find_best_setting(metric, "max")
+        if self.check_test and "val_acc" in out:
+            out["test"] = self.test_on_test(out["val_acc"].to_dict())
         return out
 
     def run(self):

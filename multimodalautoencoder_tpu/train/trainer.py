@@ -72,11 +72,18 @@ def _apply_update(state: TrainState, grads, tcfg: TrainConfig, lr0=None):
     return params, opt_state
 
 
+def _state_dtype(tcfg: TrainConfig):
+    return jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
+        else None
+
+
 def init_state(rng: Array, cfg: MMAEConfig,
                tcfg: TrainConfig) -> TrainState:
     k_init, k_run = jax.random.split(jax.random.fold_in(rng, tcfg.seed))
     params = mmae.init(k_init, cfg)
-    return TrainState(params=params, opt_state=optim.adam_init(params),
+    return TrainState(params=params,
+                      opt_state=optim.adam_init(params,
+                                                _state_dtype(tcfg)),
                       step=jnp.zeros((), jnp.int32), rng=k_run)
 
 

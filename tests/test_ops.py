@@ -28,6 +28,22 @@ def test_adam_matches_optax():
                                    np.asarray(p_ref[k]), rtol=1e-5)
 
 
+def test_adam_bf16_state_close_to_f32():
+    params = {"w": jnp.arange(12.0).reshape(3, 4) / 10}
+    grads = {"w": jnp.full((3, 4), 0.25)}
+    s32 = optim.adam_init(params)
+    s16 = optim.adam_init(params, jnp.bfloat16)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    p32, p16 = params, params
+    for _ in range(20):
+        p32, s32 = optim.adam_update(grads, s32, p32, 1e-2)
+        p16, s16 = optim.adam_update(grads, s16, p16, 1e-2)
+    assert s16.mu["w"].dtype == jnp.bfloat16  # stays bf16 across steps
+    # trajectories agree to bf16 resolution
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=2e-2, atol=5e-3)
+
+
 def test_clip_by_global_norm():
     grads = {"a": jnp.array([3.0, 4.0])}  # norm 5
     clipped = optim.clip_by_global_norm(grads, 1.0)

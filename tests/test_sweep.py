@@ -132,6 +132,24 @@ def test_classification_sweep_end_to_end(loaders, tmp_path):
     assert "val_acc" in results
 
 
+def test_classification_sweep_check_test(loaders, tmp_path):
+    unsup, sup = loaders
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup,
+        mmae_layer_sizes=[[12, 6]], classification_layer_sizes=[[8]],
+        tie_weights=[True], mmae_dropout_probs=[1.0],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0], activation_funcs=["relu"],
+        mmae_num_steps=30, classification_num_steps=30,
+        results_path=str(tmp_path), num_cross_folds=2, check_test=True,
+        verbose=False)
+    results = sweep.run()
+    assert "test" in results
+    assert 0 <= results["test"]["test_acc"] <= 1
+    assert "noisy_test_acc" in results["test"]
+
+
 def test_classification_sweep_single_label(loaders, tmp_path):
     unsup, _ = loaders
     sup1 = DataLoader(unsup.filename, supervised=True,
