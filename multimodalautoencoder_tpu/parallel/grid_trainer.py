@@ -290,8 +290,13 @@ train_grid_jit = jax.jit(train_grid,
 def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
                        cfg: MMAEConfig, tcfg: TrainConfig, spec: NoiseSpec,
                        hyper: HyperStack, folded: FoldedData,
-                       num_steps: Optional[int] = None):
-    """Shard the config axis over the mesh and run :func:`train_grid`.
+                       num_steps: Optional[int] = None,
+                       backend: str = "auto"):
+    """Shard the config axis over the mesh and train the grid.
+
+    ``backend``: 'xla' (vmapped scan), 'pallas' (the VMEM-resident
+    training mega-kernel, ops/train_kernel.py), or 'auto' — pallas on
+    real TPU when the config is in the kernel's shape family, else XLA.
 
     Pads the config count to a multiple of the mesh's config-axis size
     (duplicating the last row) and drops the padding from the results.
@@ -303,10 +308,24 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
     padded = mesh_lib.pad_to_multiple(C, n_dev)
     hyper = hyper.pad_to(padded)
 
-    hyper = mesh_lib.shard_leading_axis(hyper, mesh)
-    folded = jax.device_put(folded, mesh_lib.replicated(mesh))
-    params, losses = train_grid_jit(rng, cfg, tcfg, spec, hyper, folded,
-                                    num_steps)
+    if backend == "auto":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = ("pallas" if on_tpu
+                   and train_kernel.supported(cfg, tcfg, spec) else "xla")
+
+    if backend == "pallas":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        # the kernel grids over instances itself; mesh sharding of the
+        # pallas grid over multiple chips is future work (single kernel
+        # per chip today)
+        params, losses = train_kernel.train_grid_pallas(
+            rng, cfg, tcfg, spec, hyper, folded, num_steps)
+    else:
+        hyper = mesh_lib.shard_leading_axis(hyper, mesh)
+        folded = jax.device_put(folded, mesh_lib.replicated(mesh))
+        params, losses = train_grid_jit(rng, cfg, tcfg, spec, hyper,
+                                        folded, num_steps)
     trim = lambda a: a[:C]
     return (jax.tree_util.tree_map(trim, params), losses[:C])
 

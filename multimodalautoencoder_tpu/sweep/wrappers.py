@@ -76,7 +76,8 @@ class MMAESweep:
                  svm_gammas: Sequence[float] = (0.01, 0.001),
                  mesh=None, save_results_every_nth: int = 1,
                  seed: int = 0, verbose: bool = True,
-                 process_shard=None, save_best_params: bool = False):
+                 process_shard=None, save_best_params: bool = False,
+                 backend: str = "auto"):
         """``process_shard``: optional (process_index, process_count) for
         multi-host DCN scale-out — this host sweeps only its round-robin
         slice of the grid and writes a shard ledger
@@ -91,6 +92,7 @@ class MMAESweep:
         self.check_test = check_test
         self.process_shard = process_shard
         self.save_best_params = save_best_params
+        self.backend = backend
         self._best_saved = None   # (loss, setting, host params)
         self.probe = probe if classification_data_loader is not None else None
         self.svm_Cs = svm_Cs
@@ -301,7 +303,7 @@ class MMAESweep:
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
             params, losses = gt.train_grid_sharded(
                 self.mesh, rng, cfg, self.tcfg, self.spec, hyper,
-                self.folded)
+                self.folded, backend=self.backend)
             losses = np.asarray(losses)            # (C, K)
 
             probe_rows = None

@@ -1,0 +1,128 @@
+"""Pallas training mega-kernel: exactness vs the XLA trainer.
+
+The interpret-mode PRNG is stateless (same bits every call), so
+randomness-dependent behavior (sampling/corruption/dropout) is validated
+on real hardware; here we pin the DETERMINISTIC math: with a single
+training row (every sample hits row 0), no corruption, and no dropout,
+each kernel step must match the XLA trainer's update bit-for-bit-ish.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+from multimodalautoencoder_tpu.data.modalities import ModalityTable
+from multimodalautoencoder_tpu.models import mmae
+from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+from multimodalautoencoder_tpu.ops import optim
+from multimodalautoencoder_tpu.ops import train_kernel as tk
+from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+TABLE = ModalityTable.uniform(5, 6, names=("call", "location", "screen",
+                                           "sms", "survey"))
+
+
+def make(tied, act="softsign", wpen=0.0, steps=1, lr=1e-2,
+         decay=False):
+    cfg = MMAEConfig(
+        num_feats=30, layer_sizes=(16, 6), tie_weights=tied,
+        activation=act, element_dropout_frac=0.0,
+        noise_type_percentages=(1.0, 0.0, 0.0, 0.0)).validate()
+    tcfg = TrainConfig(learning_rate=lr, batch_size=8, num_steps=steps,
+                      decay=decay, clip_gradients=False)
+    spec = NoiseSpec.build(cfg, TABLE)
+    X = np.random.default_rng(0).random((1, 30)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X], [X])
+    hyper = gt.HyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": wpen,
+          "activation_function": act}], cfg, tcfg)
+    return cfg, tcfg, spec, X, folded, hyper
+
+
+def xla_steps(cfg, tcfg, X, wpen, n):
+    """Hand-rolled XLA reference: same init path as the kernel."""
+    inst_keys = jax.random.split(
+        jax.random.split(jax.random.PRNGKey(0))[0], 1).reshape(1, 1, 2)
+    p = jax.tree_util.tree_map(
+        lambda a: a[0, 0],
+        jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys))
+    batch = jnp.asarray(np.repeat(X, tcfg.batch_size, axis=0))
+    st = optim.adam_init(p)
+    for i in range(n):
+        def loss_fn(q):
+            l, _ = mmae.total_loss(q, cfg, batch, batch, keep_prob=1.0,
+                                   train=False, weight_penalty=wpen)
+            return l
+        g = jax.grad(loss_fn)(p)
+        lr = tcfg.learning_rate
+        if tcfg.decay:
+            lr = lr * tcfg.decay_rate ** (i / tcfg.decay_steps)
+        p, st = optim.adam_update(g, st, p, lr)
+    return p
+
+
+def assert_params_close(a, b, tol=2e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_single_step_exact(tied):
+    cfg, tcfg, spec, X, folded, hyper = make(tied)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 1))
+
+
+@pytest.mark.parametrize("act", ["relu", "tanh", "softsign", "softplus",
+                                 "linear"])
+def test_activations_exact(act):
+    cfg, tcfg, spec, X, folded, hyper = make(True, act=act)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 1))
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_weight_penalty_exact(tied):
+    cfg, tcfg, spec, X, folded, hyper = make(tied, wpen=0.01)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 1))
+
+
+def test_multi_step_with_decay_exact():
+    cfg, tcfg, spec, X, folded, hyper = make(True, steps=5, decay=True)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=5)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 5), tol=1e-4)
+
+
+def test_supported_predicate():
+    cfg, tcfg, spec, _, _, _ = make(True)
+    assert tk.supported(cfg, tcfg, spec)
+    assert not tk.supported(cfg.replace(layer_sizes=(8, 4, 2)), tcfg,
+                            spec)
+    assert not tk.supported(cfg.replace(variational=True,
+                                        tie_weights=False), tcfg, spec)
+    assert not tk.supported(cfg.replace(loss="mean_squared",
+                                        normalization="z_score"),
+                            tcfg, spec)
+
+
+def test_losses_shape_and_finite():
+    cfg, tcfg, spec, X, folded, hyper = make(True, steps=3)
+    params, losses = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg,
+                                          tcfg, spec, hyper, folded,
+                                          num_steps=3)
+    assert losses.shape == (1, 1)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert params.enc_w[0].shape == (1, 1, 30, 16)
