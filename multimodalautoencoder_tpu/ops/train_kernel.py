@@ -141,8 +141,8 @@ def _train_kernel(
         1.0, 0.0)                                       # (Bp, 1)
 
     # initial state: params from the input blocks; fresh Adam moments
-    params0 = (w1_ref[0], b1_ref[...], w2_ref[0], b2_ref[...],
-               w3_ref[0], b3_ref[...], w4_ref[0], b4_ref[...])
+    params0 = (w1_ref[0], b1_ref[0], w2_ref[0], b2_ref[0],
+               w3_ref[0], b3_ref[0], w4_ref[0], b4_ref[0])
     moments0 = tuple(jnp.zeros(p.shape, state_dtype) for p in params0
                      for _ in (0, 1))
 
@@ -187,36 +187,40 @@ def _train_kernel(
 
         # ---- forward --------------------------------------------------
         z1 = jnp.dot(xn, w1, preferred_element_type=jnp.float32) \
-            + b1[0, :][None, :]
+            + b1[0:1, :]
         a1 = _act(z1, act_id)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
         a1d = a1 * d1
         z2 = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
-            + b2[0, :][None, :]
+            + b2[0:1, :]
         z3 = jnp.dot(z2, w3, preferred_element_type=jnp.float32) \
-            + b3[0, :][None, :]
+            + b3[0:1, :]
         a3 = _act(z3, act_id)
         d3 = jnp.where(_uniform(z3.shape) < keep, 1.0 / keep, 0.0)
         a3d = a3 * d3
         z4 = jnp.dot(a3d, w4, preferred_element_type=jnp.float32) \
-            + b4[0, :][None, :]
+            + b4[0:1, :]
 
         # ---- backward (summed sigmoid-CE) -----------------------------
         sig = 1.0 / (1.0 + jnp.exp(-z4))
         g4 = (sig - x) * row_mask * featmask[None, :]          # (Bp, Fp)
         dW4 = jnp.dot(a3d.T, g4, preferred_element_type=jnp.float32)
-        db4 = jnp.sum(g4, axis=0)[None, :]
+        db4 = jnp.broadcast_to(jnp.sum(g4, axis=0)[None, :],
+                               b4.shape)
         g3 = jnp.dot(g4, w4.T, preferred_element_type=jnp.float32) \
             * d3 * _act_grad(z3, act_id)
         dW3 = jnp.dot(z2.T, g3, preferred_element_type=jnp.float32)
-        db3 = jnp.sum(g3, axis=0)[None, :]
+        db3 = jnp.broadcast_to(jnp.sum(g3, axis=0)[None, :],
+                               b3.shape)
         g2 = jnp.dot(g3, w3.T, preferred_element_type=jnp.float32)
         dW2 = jnp.dot(a1d.T, g2, preferred_element_type=jnp.float32)
-        db2 = jnp.sum(g2, axis=0)[None, :]
+        db2 = jnp.broadcast_to(jnp.sum(g2, axis=0)[None, :],
+                               b2.shape)
         g1 = jnp.dot(g2, w2.T, preferred_element_type=jnp.float32) \
             * d1 * _act_grad(z1, act_id)
         dW1 = jnp.dot(xn.T, g1, preferred_element_type=jnp.float32)
-        db1 = jnp.sum(g1, axis=0)[None, :]
+        db1 = jnp.broadcast_to(jnp.sum(g1, axis=0)[None, :],
+                               b1.shape)
 
         if tied:
             dW1 = dW1 + dW4.T
@@ -232,12 +236,13 @@ def _train_kernel(
         grads = (dW1, db1, dW2, db2, dW3, db3, dW4, db4)
 
         # ---- Adam (carry-resident moments) ----------------------------
+        # a**x lowered as exp(x * ln a) — Mosaic cannot legalize powf
         cf = (step + 1).astype(jnp.float32)
-        bc1 = 1.0 - b1_const ** cf
-        bc2 = 1.0 - b2_const ** cf
+        bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
+        bc2 = 1.0 - jnp.exp(cf * float(np.log(b2_const)))
         if decay:
-            lr = lr0 * decay_rate ** (step.astype(jnp.float32)
-                                      / decay_steps)
+            lr = lr0 * jnp.exp(step.astype(jnp.float32) / decay_steps
+                               * float(np.log(decay_rate)))
         else:
             lr = lr0
 
@@ -267,13 +272,13 @@ def _train_kernel(
         0, steps, step_fn, (params0, moments0))
 
     w1o[0] = w1
-    b1o[...] = b1
+    b1o[0] = b1
     w2o[0] = w2
-    b2o[...] = b2
+    b2o[0] = b2
     w3o[0] = w3w
-    b3o[...] = b3
+    b3o[0] = b3
     w4o[0] = w4w
-    b4o[...] = b4
+    b4o[0] = b4
 
 
 def _pad2(a: np.ndarray, r: int, c: int) -> jnp.ndarray:
@@ -329,9 +334,12 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
             :, : a.shape[2], : a.shape[3]].set(flat)
 
     def pad_b(a, c):
-        flat = a.reshape(N, a.shape[2])
-        return jnp.zeros((N, c), jnp.float32).at[
-            :, : a.shape[2]].set(flat)
+        # biases ride in (N, SUB, c) tiles (Mosaic block-shape divisibility);
+        # all SUB rows hold the same bias vector
+        flat = a.reshape(N, 1, a.shape[2])
+        return jnp.zeros((N, SUB, c), jnp.float32).at[
+            :, :, : a.shape[2]].set(jnp.broadcast_to(
+                flat, (N, SUB, a.shape[2])))
 
     w1 = pad_w(params0.enc_w[0], Fp, H1p)
     w2 = pad_w(params0.enc_w[1], H1p, H2p)
@@ -400,7 +408,7 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
         return pl.BlockSpec((1, r, c), lambda i, *_: (i, 0, 0))
 
     def bspec(c):
-        return pl.BlockSpec((1, c), lambda i, *_: (i, 0))
+        return pl.BlockSpec((1, SUB, c), lambda i, *_: (i, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -452,7 +460,7 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
         return a[:, :r, :c].reshape(C, K, r, c)
 
     def unB(a, c):
-        return a[:, :c].reshape(C, K, c)
+        return a[:, 0, :c].reshape(C, K, c)
 
     params = mmae.MMAEParams(
         enc_w=(unW(w1f, F, H1), unW(w2f, H1, H2)),
