@@ -7,19 +7,31 @@ by the optimizer's HBM traffic — every XLA step re-reads/re-writes params
 sweep's structure: each (config, fold) instance is independent and its
 parameters fit VMEM, so ONE kernel invocation per instance runs all S
 steps on-chip.  Per-step HBM traffic collapses from ~13 MB (params+opt)
-to ~100 KB (the sampled batch rows, DMA'd directly from the fold-stacked
-training set).
+to ~780 KB (the sampled batch panels).
 
-Scope (the ACII sweep's exact shape family — everything else falls back
-to the XLA grid trainer, see ``supported()``):
+Memory design (v5e has 16 MB VMEM/core):
+  - stacked parameters stay in ANY/HBM; each grid cell manually DMAs its
+    slice into VMEM scratch once, mutates the scratch across all steps,
+    and DMAs the trained slice back out — no pipelined block
+    double-buffering, so the footprint is params + moments + one
+    transient weight-gradient;
+  - Adam moments are VMEM scratch (optionally bf16);
+  - batch rows arrive via aligned 8-row panel DMAs; the sampled row is
+    selected in VMEM with a one-hot reduction (sampling stays exactly
+    uniform-with-replacement).
+  ``supported()`` includes a VMEM budget check; shapes that cannot fit
+  (e.g. untied 1000->100 at 1000 features) fall back to the XLA trainer.
+
+Scope (the ACII sweep's shape family):
   - 2 encoder layers (in -> H1 -> H2), mirrored decoder, tied or untied
   - sigmoid cross-entropy loss (the sweep's fixed loss,
     autoencoder_wrapper.py:80), L2 weight penalty
   - corruption: Bernoulli element zeroing (marginal-rate-matched to the
     reference's k-draws-with-replacement) + categorical modality-set
     masking (covers intelligent noise AND uniform single-modality drop)
-  - inverted dropout with traced keep probability
-  - Adam with exponential LR decay; bf16 moment accumulators in VMEM
+  - inverted dropout with per-config keep probability
+  - Adam with exponential LR decay (powers lowered as exp/log: Mosaic
+    cannot legalize powf)
 
 Forward/backward are hand-written (autodiff does not enter Pallas):
   z1 = xn W1 + b1; a1 = act(z1) [dropout]
@@ -28,9 +40,8 @@ Forward/backward are hand-written (autodiff does not enter Pallas):
   z4 = a3 W4 + b4               (logits)     W4 = W1^T when tied
   loss = sum BCE(z4, x) -> g4 = sigmoid(z4) - x, chained back.
 Tied weights accumulate both path gradients into W1/W2 (dW1 += dW4^T,
-dW2 += dW3^T); the reference's double-counted L2 on tied weights
-(SURVEY test ``test_tied_reg_counts_weights_twice``) is reproduced via a
-2x penalty-gradient factor.
+dW2 += dW3^T) and double the L2 gradient (the reference's reg counts a
+tied weight twice, multimodal_autoencoder.py:392-395).
 """
 
 from __future__ import annotations
@@ -52,26 +63,46 @@ from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 
 LANE = 128
 SUB = 8
+VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the 16 MB core
 
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
+    """Estimated peak VMEM per grid cell."""
+    F = _pad_to(cfg.num_feats, LANE)
+    H1 = _pad_to(cfg.layer_sizes[0], LANE)
+    H2 = _pad_to(cfg.layer_sizes[1], LANE)
+    tied = cfg.tie_weights
+    w_elems = F * H1 + H1 * H2 + (0 if tied else H2 * H1 + H1 * F)
+    b_elems = SUB * (2 * H1 + H2 + F)
+    param_bytes = 4 * (w_elems + b_elems)
+    state_mult = 1 if tcfg.optimizer_state_dtype == "bfloat16" else 2
+    moment_bytes = 2 * state_mult * (w_elems + b_elems)
+    staging = 4 * _pad_to(tcfg.batch_size, SUB) * SUB * F
+    transient = 4 * max(F * H1, H1 * H2,
+                        0 if tied else max(H2 * H1, H1 * F))
+    acts = 4 * _pad_to(tcfg.batch_size, SUB) * (3 * F + 4 * H1 + 2 * H2)
+    return param_bytes + moment_bytes + staging + transient + acts
+
+
 def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
-    """Does this (cfg, spec) fall in the kernel's shape family?"""
+    """Does this (cfg, spec) fall in the kernel's shape + memory family?"""
     cfg = cfg.validate()
     return (len(cfg.layer_sizes) == 2
             and not cfg.variational
             and cfg.loss == "sigmoid_cross_entropy"
             and cfg.classification_layer_sizes is None
-            and (spec.intelligent or spec.num_modalities_to_drop <= 1))
+            and (spec.intelligent or spec.num_modalities_to_drop <= 1)
+            and vmem_bytes(cfg, tcfg) <= VMEM_BUDGET)
 
 
 def _uniform(shape):
     """U[0,1) from the in-kernel PRNG via the [1,2) mantissa trick —
     Mosaic has no uint32->float cast, so build the float bit pattern
-    directly: seeeeeee emmm... with exponent 127 gives [1,2)."""
+    directly."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
     mant = jax.lax.shift_right_logical(bits, 9) | jnp.int32(0x3F800000)
     return pltpu.bitcast(mant, jnp.float32) - 1.0
@@ -110,18 +141,18 @@ def _train_kernel(
         mask_table_ref,            # (Tp, Fp)        VMEM  (modality sets)
         cum_ref,                   # (1, Tp)         VMEM  cumulative probs
         featmask_ref,              # (1, Fp)         VMEM  1 for real cols
-        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
-        # outputs
+        w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,  # ANY
+        # outputs (ANY; written once at the end)
         w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o,
-        # scratch
-        xbuf, sems,
+        # scratch: staging + DMA sems + mutable params + Adam moments
+        xbuf, sems, psem,
+        w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s,
+        m1, v1, mb1, vb1, m2, v2, mb2, vb2,
+        m3, v3, mb3, vb3, m4, v4, mb4, vb4,
         *, steps: int, batch: int, tied: bool, elem_p: float,
         decay: bool, decay_steps: float, decay_rate: float,
-        state_dtype, b1_const: float = 0.9, b2_const: float = 0.999,
-        eps: float = 1e-8, dr_seed_salt: int = 0x5eed):
-    """Training state (params + Adam moments) lives in the fori_loop carry
-    — Mosaic keeps it VMEM-resident across all steps; HBM is touched only
-    for the sampled batch rows and the single final parameter write."""
+        b1_const: float = 0.9, b2_const: float = 0.999,
+        eps: float = 1e-8, dr_seed_salt: int = 0x5EED):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
 
@@ -133,111 +164,111 @@ def _train_kernel(
     act_id = act_ref[i]
 
     Bp = xbuf.shape[0]
-    Fp = xbuf.shape[1]
+    Fp = xbuf.shape[2]
+
+    ins = (w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in)
+    scr = (w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s)
+    outs = (w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o)
+    moms = ((m1, v1), (mb1, vb1), (m2, v2), (mb2, vb2),
+            (m3, v3), (mb3, vb3), (m4, v4), (mb4, vb4))
+
+    # bring this cell's parameter slices into VMEM once
+    for src_ref, dst in zip(ins, scr):
+        cp = pltpu.make_async_copy(src_ref.at[i], dst, psem)
+        cp.start()
+        cp.wait()
+    for m, v in moms:
+        m[...] = jnp.zeros(m.shape, m.dtype)
+        v[...] = jnp.zeros(v.shape, v.dtype)
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     row_mask = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) < batch,
         1.0, 0.0)                                       # (Bp, 1)
 
-    # initial state: params from the input blocks; fresh Adam moments
-    params0 = (w1_ref[0], b1_ref[0], w2_ref[0], b2_ref[0],
-               w3_ref[0], b3_ref[0], w4_ref[0], b4_ref[0])
-    moments0 = tuple(jnp.zeros(p.shape, state_dtype) for p in params0
-                     for _ in (0, 1))
+    def adam(k, g, lr, bc1, bc2):
+        m_ref, v_ref = moms[k]
+        m = b1_const * m_ref[...].astype(jnp.float32) + (1 - b1_const) * g
+        v = b2_const * v_ref[...].astype(jnp.float32) \
+            + (1 - b2_const) * jnp.square(g)
+        m_ref[...] = m.astype(m_ref.dtype)
+        v_ref[...] = v.astype(v_ref.dtype)
+        scr[k][...] = scr[k][...] - lr * (m / bc1) / (jnp.sqrt(v / bc2)
+                                                      + eps)
 
-    def step_fn(step, carry):
-        (w1, b1, w2, b2, w3w, b3, w4w, b4), moments = carry
-        w3 = w2.T if tied else w3w
-        w4 = w1.T if tied else w4w
-
-        # ---- sample a batch of rows (uniform with replacement) --------
+    def step_fn(step, _):
+        # ---- sample a batch (uniform with replacement): aligned 8-row
+        # panel DMAs + one-hot row selection in VMEM ---------------------
         rbits = pltpu.bitcast(pltpu.prng_random_bits((Bp, 1)), jnp.int32)
-        rpos = jax.lax.shift_right_logical(rbits, 1)    # non-negative
+        rpos = jax.lax.shift_right_logical(rbits, 1)
         ridx = (rpos[:, 0] % n_valid)
+        panel = (ridx // SUB) * SUB
+        sub = ridx - panel
         for j in range(Bp):
             pltpu.make_async_copy(
-                train_ref.at[fold, pl.ds(ridx[j], 1), :],
-                xbuf.at[pl.ds(j, 1), :],
-                sems.at[j]).start()
+                train_ref.at[fold,
+                             pl.ds(pl.multiple_of(panel[j], SUB), SUB), :],
+                xbuf.at[j], sems.at[j]).start()
         for j in range(Bp):
             pltpu.make_async_copy(
-                train_ref.at[fold, pl.ds(ridx[j], 1), :],
-                xbuf.at[pl.ds(j, 1), :],
-                sems.at[j]).wait()
-        x = xbuf[...] * featmask[None, :]               # (Bp, Fp)
+                train_ref.at[fold,
+                             pl.ds(pl.multiple_of(panel[j], SUB), SUB), :],
+                xbuf.at[j], sems.at[j]).wait()
+        sel = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (Bp, SUB), 1)
+            == sub[:, None], 1.0, 0.0)
+        x = jnp.sum(xbuf[...] * sel[:, :, None], axis=1) \
+            * featmask[None, :]                         # (Bp, Fp)
 
         # ---- corruption ----------------------------------------------
         u_elem = _uniform((Bp, Fp))
         elem_mask = jnp.where(u_elem < elem_p, 1.0, 0.0)
-        u_type = _uniform((Bp, 1))                       # (Bp, 1)
-        cum = cum_ref[0, :]                              # (Tp,)
-        # type index = #thresholds <= u; onehot = (col == index)
+        u_type = _uniform((Bp, 1))
+        cum = cum_ref[0, :]
         below = jnp.where(u_type < cum[None, :],
-                          jnp.int32(1), jnp.int32(0))    # (Bp, Tp)
+                          jnp.int32(1), jnp.int32(0))
         t_idx = (cum.shape[0]
-                 - jnp.sum(below, axis=1, keepdims=True))  # (Bp, 1) i32
+                 - jnp.sum(below, axis=1, keepdims=True))
         cols = jax.lax.broadcasted_iota(jnp.int32,
                                         (Bp, cum.shape[0]), 1)
         onehot = jnp.where(cols == t_idx, 1.0, 0.0)
         mod_mask = jnp.dot(onehot, mask_table_ref[...],
-                           preferred_element_type=jnp.float32)  # (Bp, Fp)
+                           preferred_element_type=jnp.float32)
         xn = jnp.where(elem_mask > 0, 0.0, x)
         xn = jnp.where(mod_mask > 0, -1.0 * featmask[None, :], xn)
 
         # ---- forward --------------------------------------------------
+        w1 = w1s[...]
+        w2 = w2s[...]
+        w3 = w2.T if tied else w3s[...]
+        w4 = w1.T if tied else w4s[...]
+
         z1 = jnp.dot(xn, w1, preferred_element_type=jnp.float32) \
-            + b1[0:1, :]
+            + b1s[0:1, :]
         a1 = _act(z1, act_id)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
         a1d = a1 * d1
         z2 = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
-            + b2[0:1, :]
+            + b2s[0:1, :]
         z3 = jnp.dot(z2, w3, preferred_element_type=jnp.float32) \
-            + b3[0:1, :]
+            + b3s[0:1, :]
         a3 = _act(z3, act_id)
         d3 = jnp.where(_uniform(z3.shape) < keep, 1.0 / keep, 0.0)
         a3d = a3 * d3
         z4 = jnp.dot(a3d, w4, preferred_element_type=jnp.float32) \
-            + b4[0:1, :]
+            + b4s[0:1, :]
 
-        # ---- backward (summed sigmoid-CE) -----------------------------
+        # ---- backward activations chain -------------------------------
         sig = 1.0 / (1.0 + jnp.exp(-z4))
-        g4 = (sig - x) * row_mask * featmask[None, :]          # (Bp, Fp)
-        dW4 = jnp.dot(a3d.T, g4, preferred_element_type=jnp.float32)
-        db4 = jnp.broadcast_to(jnp.sum(g4, axis=0)[None, :],
-                               b4.shape)
+        g4 = (sig - x) * row_mask * featmask[None, :]
         g3 = jnp.dot(g4, w4.T, preferred_element_type=jnp.float32) \
             * d3 * _act_grad(z3, act_id)
-        dW3 = jnp.dot(z2.T, g3, preferred_element_type=jnp.float32)
-        db3 = jnp.broadcast_to(jnp.sum(g3, axis=0)[None, :],
-                               b3.shape)
         g2 = jnp.dot(g3, w3.T, preferred_element_type=jnp.float32)
-        dW2 = jnp.dot(a1d.T, g2, preferred_element_type=jnp.float32)
-        db2 = jnp.broadcast_to(jnp.sum(g2, axis=0)[None, :],
-                               b2.shape)
         g1 = jnp.dot(g2, w2.T, preferred_element_type=jnp.float32) \
             * d1 * _act_grad(z1, act_id)
-        dW1 = jnp.dot(xn.T, g1, preferred_element_type=jnp.float32)
-        db1 = jnp.broadcast_to(jnp.sum(g1, axis=0)[None, :],
-                               b1.shape)
 
-        if tied:
-            dW1 = dW1 + dW4.T
-            dW2 = dW2 + dW3.T
-            pen = 2.0   # l2(W) + l2(W^T) both in the reg (:392-395)
-        else:
-            pen = 1.0
-        dW1 = dW1 + pen * wpen * w1
-        dW2 = dW2 + pen * wpen * w2
-        if not tied:
-            dW3 = dW3 + wpen * w3w
-            dW4 = dW4 + wpen * w4w
-        grads = (dW1, db1, dW2, db2, dW3, db3, dW4, db4)
-
-        # ---- Adam (carry-resident moments) ----------------------------
-        # a**x lowered as exp(x * ln a) — Mosaic cannot legalize powf
         cf = (step + 1).astype(jnp.float32)
+        # a**x lowered as exp(x ln a) — Mosaic cannot legalize powf
         bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
         bc2 = 1.0 - jnp.exp(cf * float(np.log(b2_const)))
         if decay:
@@ -246,45 +277,52 @@ def _train_kernel(
         else:
             lr = lr0
 
-        new_params = []
-        new_moments = []
-        ps = (w1, b1, w2, b2, w3w, b3, w4w, b4)
-        for k in range(8):
-            if tied and k in (4, 6):
-                # tied mode: decode weights are transposes; the carry
-                # holds tiny placeholders that pass through untouched
-                new_params.append(ps[k])
-                new_moments.append(moments[2 * k])
-                new_moments.append(moments[2 * k + 1])
-                continue
-            g = grads[k]
-            m = b1_const * moments[2 * k].astype(jnp.float32) \
-                + (1 - b1_const) * g
-            v = b2_const * moments[2 * k + 1].astype(jnp.float32) \
-                + (1 - b2_const) * jnp.square(g)
-            new_params.append(
-                ps[k] - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-            new_moments.append(m.astype(state_dtype))
-            new_moments.append(v.astype(state_dtype))
-        return (tuple(new_params), tuple(new_moments))
+        pen = 2.0 if tied else 1.0
 
-    (w1, b1, w2, b2, w3w, b3, w4w, b4), _ = jax.lax.fori_loop(
-        0, steps, step_fn, (params0, moments0))
+        # ---- weight gradients applied tensor-by-tensor (one transient
+        # weight-size gradient alive at a time) --------------------------
+        if tied:
+            dW1 = jnp.dot(xn.T, g1, preferred_element_type=jnp.float32) \
+                + jnp.dot(g4.T, a3d,
+                          preferred_element_type=jnp.float32) \
+                + pen * wpen * w1
+            adam(0, dW1, lr, bc1, bc2)
+            dW2 = jnp.dot(a1d.T, g2,
+                          preferred_element_type=jnp.float32) \
+                + jnp.dot(g3.T, z2,
+                          preferred_element_type=jnp.float32) \
+                + pen * wpen * w2
+            adam(2, dW2, lr, bc1, bc2)
+        else:
+            adam(0, jnp.dot(xn.T, g1,
+                            preferred_element_type=jnp.float32)
+                 + wpen * w1, lr, bc1, bc2)
+            adam(2, jnp.dot(a1d.T, g2,
+                            preferred_element_type=jnp.float32)
+                 + wpen * w2, lr, bc1, bc2)
+            adam(4, jnp.dot(z2.T, g3,
+                            preferred_element_type=jnp.float32)
+                 + wpen * w3, lr, bc1, bc2)
+            adam(6, jnp.dot(a3d.T, g4,
+                            preferred_element_type=jnp.float32)
+                 + wpen * w4, lr, bc1, bc2)
 
-    w1o[0] = w1
-    b1o[0] = b1
-    w2o[0] = w2
-    b2o[0] = b2
-    w3o[0] = w3w
-    b3o[0] = b3
-    w4o[0] = w4w
-    b4o[0] = b4
+        def bias_grad(g, shape):
+            return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
 
+        adam(1, bias_grad(g1, b1s.shape), lr, bc1, bc2)
+        adam(3, bias_grad(g2, b2s.shape), lr, bc1, bc2)
+        adam(5, bias_grad(g3, b3s.shape), lr, bc1, bc2)
+        adam(7, bias_grad(g4, b4s.shape), lr, bc1, bc2)
+        return 0
 
-def _pad2(a: np.ndarray, r: int, c: int) -> jnp.ndarray:
-    out = np.zeros((r, c), dtype=np.float32)
-    out[: a.shape[0], : a.shape[1]] = a
-    return out
+    jax.lax.fori_loop(0, steps, step_fn, 0)
+
+    # write the trained slices back out
+    for dst_ref, src in zip(outs, scr):
+        cp = pltpu.make_async_copy(src, dst_ref.at[i], psem)
+        cp.start()
+        cp.wait()
 
 
 def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
@@ -298,12 +336,11 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     parameters, so objective semantics are identical across backends.
     """
     from multimodalautoencoder_tpu.models import mmae
-    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
 
     cfg = cfg.validate()
     if not supported(cfg, tcfg, spec):
-        raise ValueError("configuration outside the kernel's shape family;"
-                         " use the XLA grid trainer")
+        raise ValueError("configuration outside the kernel's shape/memory"
+                         " family; use the XLA grid trainer")
     num_steps = tcfg.num_steps if num_steps is None else num_steps
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -318,15 +355,13 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     B = tcfg.batch_size
     Bp = _pad_to(B, SUB)
     tied = cfg.tie_weights
+    state_dt = (jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16"
+                else jnp.float32)
 
     # ---- init params with the exact XLA initializer, then pad ----------
     k_init, k_eval = jax.random.split(rng)
     inst_keys = jax.random.split(k_init, N).reshape(C, K, 2)
-
-    def init_one(k):
-        return mmae.init(k, cfg)
-
-    params0 = jax.vmap(jax.vmap(init_one))(inst_keys)
+    params0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys)
 
     def pad_w(a, r, c):
         flat = a.reshape(N, a.shape[2], a.shape[3])
@@ -334,7 +369,7 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
             :, : a.shape[2], : a.shape[3]].set(flat)
 
     def pad_b(a, c):
-        # biases ride in (N, SUB, c) tiles (Mosaic block-shape divisibility);
+        # biases ride in (N, SUB, c) tiles (Mosaic block divisibility);
         # all SUB rows hold the same bias vector
         flat = a.reshape(N, 1, a.shape[2])
         return jnp.zeros((N, SUB, c), jnp.float32).at[
@@ -348,7 +383,7 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     b3 = pad_b(params0.dec_b[0], H1p)
     b4 = pad_b(params0.dec_b[1], Fp)
     if tied:
-        # placeholders: the kernel never touches decode weights when tied
+        # placeholders: never touched when tied
         w3 = jnp.zeros((N, SUB, LANE), jnp.float32)
         w4 = jnp.zeros((N, SUB, LANE), jnp.float32)
         w3_rc, w4_rc = (SUB, LANE), (SUB, LANE)
@@ -370,7 +405,8 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
             probs = np.ones((1,))
     T = type_masks.shape[0]
     Tp = _pad_to(T, LANE)
-    table = _pad2(type_masks, Tp, Fp)
+    table = np.zeros((Tp, Fp), np.float32)
+    table[:T, :F] = type_masks
     cum = np.zeros((1, Tp), np.float32)
     cum[0, :T] = np.cumsum(probs / probs.sum())
     cum[0, T:] = 2.0   # unreachable
@@ -383,8 +419,10 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     elem_p = float(1.0 - (1.0 - 1.0 / F) ** k_draws) if k_draws else 0.0
 
     # ---- fold data + per-instance scalars ------------------------------
-    train = jnp.zeros((K, folded.train_x.shape[1], Fp), jnp.float32
-                      ).at[:, :, :F].set(folded.train_x)
+    maxN = _pad_to(folded.train_x.shape[1], SUB)
+    train = jnp.zeros((K, maxN, Fp), jnp.float32
+                      ).at[:, : folded.train_x.shape[1], :F].set(
+        folded.train_x)
     seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1)
                      )(inst_keys.reshape(N, 2)).astype(jnp.int32)
     fold_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), C)
@@ -394,68 +432,63 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     wpen = jnp.repeat(hyper.weight_penalty, K)
     act = jnp.repeat(hyper.act_id, K)
 
-    state_dt = (jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16"
-                else jnp.float32)
     kernel = functools.partial(
         _train_kernel, steps=num_steps, batch=B, tied=tied,
         elem_p=elem_p,
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
-        decay_rate=float(tcfg.decay_rate),
-        state_dtype=state_dt)
+        decay_rate=float(tcfg.decay_rate))
 
-    def wspec(r, c):
-        return pl.BlockSpec((1, r, c), lambda i, *_: (i, 0, 0))
+    def anyspec():
+        return pl.BlockSpec(memory_space=pl.ANY)
 
-    def bspec(c):
-        return pl.BlockSpec((1, SUB, c), lambda i, *_: (i, 0, 0))
+    def moment_pair(r, c):
+        return [pltpu.VMEM((r, c), state_dt),
+                pltpu.VMEM((r, c), state_dt)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # train
-            pl.BlockSpec((Tp, Fp), lambda i, *_: (0, 0)),     # mask table
-            pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),      # cum probs
-            pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),      # feat mask
-            wspec(Fp, H1p), bspec(H1p),
-            wspec(H1p, H2p), bspec(H2p),
-            wspec(*w3_rc), bspec(H1p),
-            wspec(*w4_rc), bspec(Fp),
-        ],
-        out_specs=[
-            wspec(Fp, H1p), bspec(H1p),
-            wspec(H1p, H2p), bspec(H2p),
-            wspec(*w3_rc), bspec(H1p),
-            wspec(*w4_rc), bspec(Fp),
-        ],
+            anyspec(),                                     # train
+            pl.BlockSpec((Tp, Fp), lambda i, *_: (0, 0)),  # mask table
+            pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
+            pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
+        ] + [anyspec()] * 8,
+        out_specs=[anyspec()] * 8,
         scratch_shapes=[
-            pltpu.VMEM((Bp, Fp), jnp.float32),            # xbuf
-            pltpu.SemaphoreType.DMA((Bp,)),               # sems
-        ],
+            pltpu.VMEM((Bp, SUB, Fp), jnp.float32),        # panel staging
+            pltpu.SemaphoreType.DMA((Bp,)),                # batch sems
+            pltpu.SemaphoreType.DMA,                       # param sem
+            # mutable parameter scratch
+            pltpu.VMEM((Fp, H1p), jnp.float32),
+            pltpu.VMEM((SUB, H1p), jnp.float32),
+            pltpu.VMEM((H1p, H2p), jnp.float32),
+            pltpu.VMEM((SUB, H2p), jnp.float32),
+            pltpu.VMEM(w3_rc, jnp.float32),
+            pltpu.VMEM((SUB, H1p), jnp.float32),
+            pltpu.VMEM(w4_rc, jnp.float32),
+            pltpu.VMEM((SUB, Fp), jnp.float32),
+            # Adam moments (m, v) per parameter, kernel arg order
+        ] + moment_pair(Fp, H1p) + moment_pair(SUB, H1p)
+          + moment_pair(H1p, H2p) + moment_pair(SUB, H2p)
+          + moment_pair(*w3_rc) + moment_pair(SUB, H1p)
+          + moment_pair(*w4_rc) + moment_pair(SUB, Fp),
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w3.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b3.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w4.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b4.shape, jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                   for a in (w1, b1, w2, b2, w3, b3, w4, b4)],
         interpret=(pltpu.InterpretParams() if interpret else False),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
       train, jnp.asarray(table), jnp.asarray(cum), jnp.asarray(featmask),
       w1, b1, w2, b2, w3, b3, w4, b4)
 
     w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f = out
 
-    # ---- unpad and rebuild the MMAEParams pytree (C, K, ...) -----------
     def unW(a, r, c):
         return a[:, :r, :c].reshape(C, K, r, c)
 
@@ -470,12 +503,12 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
         var_w=None, var_b=None, cls_w=(), cls_b=())
 
     # ---- objective: identical XLA evaluator as train_grid --------------
+    from multimodalautoencoder_tpu.models.corruption import \
+        add_noise_to_batch
     from multimodalautoencoder_tpu.ops import masking as masking_lib
 
     def eval_one(p, act_id, vx, vn, k):
         k_noise, k_fwd = jax.random.split(k)
-        from multimodalautoencoder_tpu.models.corruption import \
-            add_noise_to_batch
         noisy = add_noise_to_batch(k_noise, vx, spec)
         outs = mmae.forward(p, cfg, noisy, rng=k_fwd, keep_prob=1.0,
                             train=False, act_id=act_id)
