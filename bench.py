@@ -6,10 +6,11 @@ x 5-fold CV x 15000 Adam steps at batch 20 — which the reference runs as
 a serial Python loop with one ``session.run`` per step
 (generic_wrapper.py:253-300).
 
-Method: measure the config-parallel grid trainer on each architecture
-bucket (12 configs x 5 folds x 300 steps, untied — the conservative
-shape), blend the per-arch rates over the real grid composition (36
-settings per arch), and report projected configs/hour.
+Method: measure every bucket of the real grid composition — per
+architecture, 12 tied DAE + 12 untied DAE + 12 VAE settings — each as
+12 configs x 5 folds x 300 steps with backend='auto' (the Pallas
+VMEM-resident training kernel where the shape fits, the XLA grid trainer
+otherwise, VAE always XLA), then project full-grid configs/hour.
 
 Recipe: the framework's performance mode — bfloat16 Adam accumulators
 (the optimizer's HBM traffic is the measured bottleneck) and no gradient
@@ -51,8 +52,11 @@ def main():
     from multimodalautoencoder_tpu.parallel import grid_trainer as gt
 
     # Reference workload constants (autoencoder_wrapper.py:79-92, :127-155)
+    # Per architecture: 12 tied DAE + 12 untied DAE + 12 VAE settings.
     ARCHS = ((1000, 100), (500, 100), (300, 100))
-    CONFIGS_PER_ARCH = 36          # 24 DAE + 12 VAE
+    BUCKETS = [(arch, variant) for arch in ARCHS
+               for variant in ("tied", "untied", "vae")]
+    CONFIGS_PER_BUCKET = 12
     FULL_FOLDS = 5
     FULL_STEPS = 15000
     BATCH = 20
@@ -79,27 +83,39 @@ def main():
                  "activation_function": ["softsign", "relu"][i % 2]}
                 for i in range(MEAS_CONFIGS)]
 
-    total_secs = 0.0
-    for arch in ARCHS:
-        cfg = MMAEConfig(num_feats=NUM_FEATS, layer_sizes=arch,
-                         tie_weights=False,
-                         loss="sigmoid_cross_entropy").validate()
+    from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+
+    def measure(cfg):
         spec = NoiseSpec.build(cfg, table)
         hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
-        # compile (persistent cache makes repeats fast)
-        _, l = gt.train_grid_jit(jax.random.PRNGKey(0), cfg, tcfg, spec,
-                                 hyper, folded, num_steps=MEAS_STEPS)
+        # compile (persistent cache makes repeats fast); backend='auto'
+        # picks the Pallas VMEM-resident training kernel where the shape
+        # fits, the XLA grid trainer otherwise
+        _, l = gt.train_grid_sharded(mesh, jax.random.PRNGKey(0), cfg,
+                                     tcfg, spec, hyper, folded,
+                                     num_steps=MEAS_STEPS)
         _materialize(l)
         t0 = time.perf_counter()
-        _, l = gt.train_grid_jit(jax.random.PRNGKey(1), cfg, tcfg, spec,
-                                 hyper, folded, num_steps=MEAS_STEPS)
+        _, l = gt.train_grid_sharded(mesh, jax.random.PRNGKey(1), cfg,
+                                     tcfg, spec, hyper, folded,
+                                     num_steps=MEAS_STEPS)
         _materialize(l)
-        dt = time.perf_counter() - t0
-        ips = MEAS_CONFIGS * FULL_FOLDS * MEAS_STEPS / dt
-        arch_steps = CONFIGS_PER_ARCH * FULL_FOLDS * FULL_STEPS
-        total_secs += arch_steps / ips
+        return MEAS_CONFIGS * FULL_FOLDS * MEAS_STEPS / (
+            time.perf_counter() - t0)
 
-    configs_per_hour = len(ARCHS) * CONFIGS_PER_ARCH / (total_secs / 3600)
+    total_secs = 0.0
+    for arch, variant in BUCKETS:
+        cfg = MMAEConfig(num_feats=NUM_FEATS, layer_sizes=arch,
+                         tie_weights=(variant == "tied"),
+                         variational=(variant == "vae"),
+                         loss="sigmoid_cross_entropy").validate()
+        ips = measure(cfg)
+        bucket_steps = CONFIGS_PER_BUCKET * FULL_FOLDS * FULL_STEPS
+        total_secs += bucket_steps / ips
+
+    total_configs = len(BUCKETS) * CONFIGS_PER_BUCKET
+    configs_per_hour = total_configs / (total_secs / 3600)
     baseline_configs_per_hour = 648.0  # 108 configs / 10 min target
     print(json.dumps({
         "metric": "acii2017_grid_configs_per_hour",

@@ -334,9 +334,11 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     ``(params_stacked, losses)`` with (C, K) leading axes; the final
     noisy-val objective is computed with the XLA evaluator on the trained
     parameters, so objective semantics are identical across backends.
-    """
-    from multimodalautoencoder_tpu.models import mmae
 
+    The whole pipeline (init, padding, kernel, unpadding, evaluation) is
+    one cached jit — the tunnel-attached platform charges ~1 s per
+    dispatch, so the padding/eval glue must not run op-by-op.
+    """
     cfg = cfg.validate()
     if not supported(cfg, tcfg, spec):
         raise ValueError("configuration outside the kernel's shape/memory"
@@ -344,6 +346,27 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     num_steps = tcfg.num_steps if num_steps is None else num_steps
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    # element dropout: Bernoulli with the reference's marginal rate
+    # 1-(1-1/F)^k (k draws with replacement, multimodal_autoencoder:682)
+    k_draws = spec.num_element_drops
+    elem_p = (float(1.0 - (1.0 - 1.0 / cfg.num_feats) ** k_draws)
+              if k_draws else 0.0)
+    fn = _cached_pipeline(cfg, tcfg, int(num_steps), bool(interpret),
+                          elem_p)
+    return fn(rng, spec, hyper, folded)
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_pipeline(cfg: MMAEConfig, tcfg: TrainConfig, num_steps: int,
+                     interpret: bool, elem_p: float):
+    return jax.jit(functools.partial(
+        _pipeline, cfg=cfg, tcfg=tcfg, num_steps=num_steps,
+        interpret=interpret, elem_p=elem_p))
+
+
+def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
+              interpret, elem_p):
+    from multimodalautoencoder_tpu.models import mmae
 
     C = hyper.num_configs
     K = folded.train_x.shape[0]
@@ -392,31 +415,23 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
         w4 = pad_w(params0.dec_w[1], H1p, Fp)
         w3_rc, w4_rc = (H2p, H1p), (H1p, Fp)
 
-    # ---- corruption tables --------------------------------------------
-    type_masks = np.asarray(spec.type_masks, dtype=np.float32)
-    probs = np.exp(np.asarray(spec.type_log_probs, dtype=np.float64))
-    if not spec.intelligent:
-        mm = np.asarray(spec.modality_masks, dtype=np.float32)
-        if spec.num_modalities_to_drop == 1:
-            type_masks = mm
-            probs = np.full((mm.shape[0],), 1.0 / mm.shape[0])
-        else:  # num_modalities_to_drop == 0
-            type_masks = np.zeros((1, F), np.float32)
-            probs = np.ones((1,))
+    # ---- corruption tables (traceable: spec arrays may be tracers) -----
+    if spec.intelligent:
+        type_masks = spec.type_masks.astype(jnp.float32)
+        probs = jnp.exp(spec.type_log_probs)
+    elif spec.num_modalities_to_drop == 1:
+        mm = spec.modality_masks.astype(jnp.float32)
+        type_masks = mm
+        probs = jnp.full((mm.shape[0],), 1.0 / mm.shape[0])
+    else:  # num_modalities_to_drop == 0
+        type_masks = jnp.zeros((1, F), jnp.float32)
+        probs = jnp.ones((1,))
     T = type_masks.shape[0]
     Tp = _pad_to(T, LANE)
-    table = np.zeros((Tp, Fp), np.float32)
-    table[:T, :F] = type_masks
-    cum = np.zeros((1, Tp), np.float32)
-    cum[0, :T] = np.cumsum(probs / probs.sum())
-    cum[0, T:] = 2.0   # unreachable
-    featmask = np.zeros((1, Fp), np.float32)
-    featmask[0, :F] = 1.0
-
-    # element dropout: Bernoulli with the reference's marginal rate
-    # 1-(1-1/F)^k (k draws with replacement, multimodal_autoencoder:682)
-    k_draws = spec.num_element_drops
-    elem_p = float(1.0 - (1.0 - 1.0 / F) ** k_draws) if k_draws else 0.0
+    table = jnp.zeros((Tp, Fp), jnp.float32).at[:T, :F].set(type_masks)
+    cum = jnp.full((1, Tp), 2.0, jnp.float32).at[0, :T].set(
+        jnp.cumsum(probs / jnp.sum(probs)))     # padding cums unreachable
+    featmask = jnp.zeros((1, Fp), jnp.float32).at[0, :F].set(1.0)
 
     # ---- fold data + per-instance scalars ------------------------------
     maxN = _pad_to(folded.train_x.shape[1], SUB)
@@ -484,7 +499,7 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
         interpret=(pltpu.InterpretParams() if interpret else False),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
-      train, jnp.asarray(table), jnp.asarray(cum), jnp.asarray(featmask),
+      train, table, cum, featmask,
       w1, b1, w2, b2, w3, b3, w4, b4)
 
     w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f = out
