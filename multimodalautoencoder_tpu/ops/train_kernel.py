@@ -77,7 +77,10 @@ def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
     H2 = _pad_to(cfg.layer_sizes[1], LANE)
     tied = cfg.tie_weights
     w_elems = F * H1 + H1 * H2 + (0 if tied else H2 * H1 + H1 * F)
-    b_elems = SUB * (2 * H1 + H2 + F)
+    if cfg.variational:
+        w_elems += H1 * H2
+    b_elems = SUB * (2 * H1 + H2 + F) + (SUB * H2 if cfg.variational
+                                         else 0)
     param_bytes = 4 * (w_elems + b_elems)
     state_mult = 1 if tcfg.optimizer_state_dtype == "bfloat16" else 2
     moment_bytes = 2 * state_mult * (w_elems + b_elems)
@@ -92,7 +95,6 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
     """Does this (cfg, spec) fall in the kernel's shape + memory family?"""
     cfg = cfg.validate()
     return (len(cfg.layer_sizes) == 2
-            and not cfg.variational
             and cfg.loss == "sigmoid_cross_entropy"
             and cfg.classification_layer_sizes is None
             and (spec.intelligent or spec.num_modalities_to_drop <= 1)
@@ -106,6 +108,14 @@ def _uniform(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
     mant = jax.lax.shift_right_logical(bits, 9) | jnp.int32(0x3F800000)
     return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _normal(shape):
+    """Standard normal via Box-Muller on in-kernel uniforms."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1 + 1e-12))
+    return r * jnp.cos(2.0 * np.pi * u2)
 
 
 def _act(z, act_id):
@@ -141,15 +151,17 @@ def _train_kernel(
         mask_table_ref,            # (Tp, Fp)        VMEM  (modality sets)
         cum_ref,                   # (1, Tp)         VMEM  cumulative probs
         featmask_ref,              # (1, Fp)         VMEM  1 for real cols
-        w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,  # ANY
+        w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,
+        wv_in, bv_in,                                            # ANY
         # outputs (ANY; written once at the end)
-        w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o,
+        w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o, wvo, bvo,
         # scratch: staging + DMA sems + mutable params + Adam moments
         xbuf, sems, psem,
-        w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s,
+        w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s, wvs, bvs,
         m1, v1, mb1, vb1, m2, v2, mb2, vb2,
-        m3, v3, mb3, vb3, m4, v4, mb4, vb4,
-        *, steps: int, batch: int, tied: bool, elem_p: float,
+        m3, v3, mb3, vb3, m4, v4, mb4, vb4, mwv, vwv, mbv, vbv,
+        *, steps: int, batch: int, tied: bool, variational: bool,
+        elem_p: float,
         decay: bool, decay_steps: float, decay_rate: float,
         b1_const: float = 0.9, b2_const: float = 0.999,
         eps: float = 1e-8, dr_seed_salt: int = 0x5EED):
@@ -166,11 +178,13 @@ def _train_kernel(
     Bp = xbuf.shape[0]
     Fp = xbuf.shape[2]
 
-    ins = (w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in)
-    scr = (w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s)
-    outs = (w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o)
+    ins = (w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,
+           wv_in, bv_in)
+    scr = (w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s, wvs, bvs)
+    outs = (w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o, wvo, bvo)
     moms = ((m1, v1), (mb1, vb1), (m2, v2), (mb2, vb2),
-            (m3, v3), (mb3, vb3), (m4, v4), (mb4, vb4))
+            (m3, v3), (mb3, vb3), (m4, v4), (mb4, vb4),
+            (mwv, vwv), (mbv, vbv))
 
     # bring this cell's parameter slices into VMEM once
     for src_ref, dst in zip(ins, scr):
@@ -185,6 +199,9 @@ def _train_kernel(
     row_mask = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) < batch,
         1.0, 0.0)                                       # (Bp, 1)
+
+    def bias_grad_fn(g, shape):
+        return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
 
     def adam(k, g, lr, bc1, bc2):
         m_ref, v_ref = moms[k]
@@ -248,8 +265,20 @@ def _train_kernel(
         a1 = _act(z1, act_id)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
         a1d = a1 * d1
-        z2 = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
+        mu = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
             + b2s[0:1, :]
+        if variational:
+            # reparameterized embedding (multimodal_autoencoder.py
+            # :372-375, :464-465): log-sigma head off the last hidden
+            # activation; z = mu + eps_n * exp(lv)
+            lv = jnp.dot(a1d, wvs[...],
+                         preferred_element_type=jnp.float32) \
+                + bvs[0:1, :]
+            eps_n = _normal(mu.shape)
+            sigma = jnp.exp(lv)
+            z2 = mu + eps_n * sigma
+        else:
+            z2 = mu
         z3 = jnp.dot(z2, w3, preferred_element_type=jnp.float32) \
             + b3s[0:1, :]
         a3 = _act(z3, act_id)
@@ -263,9 +292,25 @@ def _train_kernel(
         g4 = (sig - x) * row_mask * featmask[None, :]
         g3 = jnp.dot(g4, w4.T, preferred_element_type=jnp.float32) \
             * d3 * _act_grad(z3, act_id)
-        g2 = jnp.dot(g3, w3.T, preferred_element_type=jnp.float32)
-        g1 = jnp.dot(g2, w2.T, preferred_element_type=jnp.float32) \
-            * d1 * _act_grad(z1, act_id)
+        gz = jnp.dot(g3, w3.T, preferred_element_type=jnp.float32)
+        if variational:
+            # loss = recon_sum + mean_rows(KL) with KL on the SAMPLED z
+            # (reference quirk, :402-406): KL = -0.5 sum(1 + 2lv - z^2
+            # - e^{2lv}); dKL/dz = z/B, dKL/dlv = (e^{2lv} - 1)/B
+            inv_b = 1.0 / float(batch)
+            gz = (gz + z2 * inv_b * row_mask) 
+            gmu = gz
+            glv = (gz * eps_n * sigma
+                   + (jnp.exp(2.0 * lv) - 1.0) * inv_b * row_mask)
+            g2 = gmu
+        else:
+            glv = None
+            g2 = gz
+        g1_pre = jnp.dot(g2, w2.T, preferred_element_type=jnp.float32)
+        if variational:
+            g1_pre = g1_pre + jnp.dot(glv, wvs[...].T,
+                                      preferred_element_type=jnp.float32)
+        g1 = g1_pre * d1 * _act_grad(z1, act_id)
 
         cf = (step + 1).astype(jnp.float32)
         # a**x lowered as exp(x ln a) — Mosaic cannot legalize powf
@@ -306,14 +351,17 @@ def _train_kernel(
             adam(6, jnp.dot(a3d.T, g4,
                             preferred_element_type=jnp.float32)
                  + wpen * w4, lr, bc1, bc2)
+        if variational:
+            # L2 reg includes the variance weights (:396-397)
+            adam(8, jnp.dot(a1d.T, glv,
+                            preferred_element_type=jnp.float32)
+                 + wpen * wvs[...], lr, bc1, bc2)
+            adam(9, bias_grad_fn(glv, bvs.shape), lr, bc1, bc2)
 
-        def bias_grad(g, shape):
-            return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
-
-        adam(1, bias_grad(g1, b1s.shape), lr, bc1, bc2)
-        adam(3, bias_grad(g2, b2s.shape), lr, bc1, bc2)
-        adam(5, bias_grad(g3, b3s.shape), lr, bc1, bc2)
-        adam(7, bias_grad(g4, b4s.shape), lr, bc1, bc2)
+        adam(1, bias_grad_fn(g1, b1s.shape), lr, bc1, bc2)
+        adam(3, bias_grad_fn(g2, b2s.shape), lr, bc1, bc2)
+        adam(5, bias_grad_fn(g3, b3s.shape), lr, bc1, bc2)
+        adam(7, bias_grad_fn(g4, b4s.shape), lr, bc1, bc2)
         return 0
 
     jax.lax.fori_loop(0, steps, step_fn, 0)
@@ -414,6 +462,14 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         w3 = pad_w(params0.dec_w[0], H2p, H1p)
         w4 = pad_w(params0.dec_w[1], H1p, Fp)
         w3_rc, w4_rc = (H2p, H1p), (H1p, Fp)
+    if cfg.variational:
+        wv = pad_w(params0.var_w, H1p, H2p)
+        bv = pad_b(params0.var_b, H2p)
+        wv_rc = (H1p, H2p)
+    else:
+        wv = jnp.zeros((N, SUB, LANE), jnp.float32)
+        bv = jnp.zeros((N, SUB, LANE), jnp.float32)
+        wv_rc = (SUB, LANE)
 
     # ---- corruption tables (traceable: spec arrays may be tracers) -----
     if spec.intelligent:
@@ -449,6 +505,7 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
 
     kernel = functools.partial(
         _train_kernel, steps=num_steps, batch=B, tied=tied,
+        variational=bool(cfg.variational),
         elem_p=elem_p,
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
@@ -469,8 +526,8 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             pl.BlockSpec((Tp, Fp), lambda i, *_: (0, 0)),  # mask table
             pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
             pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
-        ] + [anyspec()] * 8,
-        out_specs=[anyspec()] * 8,
+        ] + [anyspec()] * 10,
+        out_specs=[anyspec()] * 10,
         scratch_shapes=[
             pltpu.VMEM((Bp, SUB, Fp), jnp.float32),        # panel staging
             pltpu.SemaphoreType.DMA((Bp,)),                # batch sems
@@ -484,25 +541,31 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             pltpu.VMEM((SUB, H1p), jnp.float32),
             pltpu.VMEM(w4_rc, jnp.float32),
             pltpu.VMEM((SUB, Fp), jnp.float32),
+            pltpu.VMEM(wv_rc, jnp.float32),
+            pltpu.VMEM((SUB, H2p) if cfg.variational else (SUB, LANE),
+                       jnp.float32),
             # Adam moments (m, v) per parameter, kernel arg order
         ] + moment_pair(Fp, H1p) + moment_pair(SUB, H1p)
           + moment_pair(H1p, H2p) + moment_pair(SUB, H2p)
           + moment_pair(*w3_rc) + moment_pair(SUB, H1p)
-          + moment_pair(*w4_rc) + moment_pair(SUB, Fp),
+          + moment_pair(*w4_rc) + moment_pair(SUB, Fp)
+          + moment_pair(*wv_rc)
+          + moment_pair(*((SUB, H2p) if cfg.variational
+                          else (SUB, LANE))),
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
-                   for a in (w1, b1, w2, b2, w3, b3, w4, b4)],
+                   for a in (w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)],
         interpret=(pltpu.InterpretParams() if interpret else False),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
       train, table, cum, featmask,
-      w1, b1, w2, b2, w3, b3, w4, b4)
+      w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)
 
-    w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f = out
+    (w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f, wvf, bvf) = out
 
     def unW(a, r, c):
         return a[:, :r, :c].reshape(C, K, r, c)
@@ -515,7 +578,9 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         enc_b=(unB(b1f, H1), unB(b2f, H2)),
         dec_w=(() if tied else (unW(w3f, H2, H1), unW(w4f, H1, F))),
         dec_b=(unB(b3f, H1), unB(b4f, F)),
-        var_w=None, var_b=None, cls_w=(), cls_b=())
+        var_w=(unW(wvf, H1, H2) if cfg.variational else None),
+        var_b=(unB(bvf, H2) if cfg.variational else None),
+        cls_w=(), cls_b=())
 
     # ---- objective: identical XLA evaluator as train_grid --------------
     from multimodalautoencoder_tpu.models.corruption import \

@@ -111,11 +111,31 @@ def test_supported_predicate():
     assert tk.supported(cfg, tcfg, spec)
     assert not tk.supported(cfg.replace(layer_sizes=(8, 4, 2)), tcfg,
                             spec)
-    assert not tk.supported(cfg.replace(variational=True,
-                                        tie_weights=False), tcfg, spec)
+    # VAE is in the kernel family (reparameterized backward is built in)
+    assert tk.supported(cfg.replace(variational=True,
+                                    tie_weights=False), tcfg, spec)
     assert not tk.supported(cfg.replace(loss="mean_squared",
                                         normalization="z_score"),
                             tcfg, spec)
+    # shapes beyond the VMEM budget fall back
+    big = cfg.replace(num_feats=1000, layer_sizes=(1000, 100),
+                      tie_weights=False)
+    assert not tk.supported(big, tcfg, spec)
+
+
+def test_vae_kernel_runs():
+    """VAE path: structure/finiteness on CPU (the interpret-mode PRNG is
+    degenerate, so learning quality is validated on hardware)."""
+    cfg, tcfg, spec, X, folded, hyper = make(True, steps=3)
+    cfg = cfg.replace(variational=True, tie_weights=False).validate()
+    params, losses = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg,
+                                          tcfg, spec, hyper, folded,
+                                          num_steps=3)
+    assert params.var_w.shape == (1, 1, 16, 6)
+    assert params.dec_w[0].shape == (1, 1, 6, 16)
+    assert np.isfinite(np.asarray(losses)).all()
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_losses_shape_and_finite():
