@@ -11,7 +11,7 @@ flags so bug-compatible behavior remains available.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 # The reference's hard-coded "intelligent noise" distribution: probability of

@@ -15,7 +15,7 @@ preprocessing stage (BASELINE.md config ladder item 5).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pandas as pd

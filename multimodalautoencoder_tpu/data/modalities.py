@@ -16,7 +16,7 @@ feature masks — the static arrays that make corruption a vectorized
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

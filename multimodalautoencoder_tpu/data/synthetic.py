@@ -13,7 +13,7 @@ Default modality names match the reference's intelligent-noise tables
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import pandas as pd
