@@ -195,16 +195,28 @@ class MultimodalAutoencoder:
     def train(self, num_steps: int = 30000,
               record_every_nth: Optional[int] = None,
               save_every_nth: Optional[int] = None) -> None:
-        """Unsupervised denoising training (:549-590)."""
+        """Unsupervised denoising training (:549-590).
+
+        ``save_every_nth`` checkpoints mid-run like the reference (:584-586):
+        training proceeds in jitted chunks of that many steps with a
+        checkpoint written between chunks.
+        """
         record = record_every_nth or self.record_every_nth
-        tcfg = self.tcfg.replace(num_steps=num_steps,
-                                 record_every_nth=record)
-        self.state, curves = trainer.train_jit(
-            self.state, self.cfg, tcfg, self.spec,
-            self._arrays["train_x"], self._arrays["val_x"])
-        self.train_loss += list(np.asarray(curves.train_loss))
-        self.val_loss += list(np.asarray(curves.val_loss))
         self.record_every_nth = record
+        chunk = num_steps if not save_every_nth or save_every_nth >= \
+            num_steps else save_every_nth
+        done = 0
+        while done < num_steps:
+            n = min(chunk, num_steps - done)
+            tcfg = self.tcfg.replace(num_steps=n, record_every_nth=record)
+            self.state, curves = trainer.train_jit(
+                self.state, self.cfg, tcfg, self.spec,
+                self._arrays["train_x"], self._arrays["val_x"])
+            self.train_loss += list(np.asarray(curves.train_loss))
+            self.val_loss += list(np.asarray(curves.val_loss))
+            done += n
+            if done < num_steps:
+                self.save_model()
         if save_every_nth is not None and save_every_nth <= num_steps:
             self.save_model()
         if self.verbose:

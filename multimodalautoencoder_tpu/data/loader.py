@@ -157,6 +157,18 @@ class DataLoader:
         nx, ny = self._matrices(noisy, dataset)
         return cx, cy, nx, ny
 
+    def get_noisy_clean_data_for_dataset(self, dset: str):
+        """(clean_X, clean_Y, noisy_X, noisy_Y) for one dataset split
+        (data_funcs.py:225-245)."""
+        return self._noisy_clean(dset)
+
+    def get_noisy_or_clean_data_matrices(self, df: pd.DataFrame,
+                                         noisy: bool = True):
+        """(X, Y) from the noisy or clean rows of ``df``
+        (data_funcs.py:247-261)."""
+        sub = df[df["logistics_noisy"] == noisy]
+        return self._matrices(sub, None)
+
     # -- batch getters (data_funcs.py:161-202): uniform WITH replacement ---
 
     def get_unsupervised_train_batch(self, batch_size: int) -> np.ndarray:
