@@ -98,6 +98,8 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
             and cfg.loss == "sigmoid_cross_entropy"
             and cfg.classification_layer_sizes is None
             and (spec.intelligent or spec.num_modalities_to_drop <= 1)
+            and not tcfg.clip_gradients  # clipping not implemented here;
+            # note the reference's clip flag is dead code anyway (§2.8.2)
             and vmem_bytes(cfg, tcfg) <= VMEM_BUDGET)
 
 
@@ -161,7 +163,7 @@ def _train_kernel(
         m1, v1, mb1, vb1, m2, v2, mb2, vb2,
         m3, v3, mb3, vb3, m4, v4, mb4, vb4, mwv, vwv, mbv, vbv,
         *, steps: int, batch: int, tied: bool, variational: bool,
-        elem_p: float,
+        elem_p: float, mask_value: float,
         decay: bool, decay_steps: float, decay_rate: float,
         b1_const: float = 0.9, b2_const: float = 0.999,
         eps: float = 1e-8, dr_seed_salt: int = 0x5EED):
@@ -252,7 +254,7 @@ def _train_kernel(
         mod_mask = jnp.dot(onehot, mask_table_ref[...],
                            preferred_element_type=jnp.float32)
         xn = jnp.where(elem_mask > 0, 0.0, x)
-        xn = jnp.where(mod_mask > 0, -1.0 * featmask[None, :], xn)
+        xn = jnp.where(mod_mask > 0, mask_value * featmask[None, :], xn)
 
         # ---- forward --------------------------------------------------
         w1 = w1s[...]
@@ -506,7 +508,7 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     kernel = functools.partial(
         _train_kernel, steps=num_steps, batch=B, tied=tied,
         variational=bool(cfg.variational),
-        elem_p=elem_p,
+        elem_p=elem_p, mask_value=float(cfg.mask_with),
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
         decay_rate=float(tcfg.decay_rate))

@@ -70,6 +70,7 @@ class MMAESweep:
                  optimize_for: Optional[str] = None, min_or_max="min",
                  num_steps: int = 15000, batch_size: int = 20,
                  learning_rate: float = 1e-3,
+                 clip_gradients: bool = False,
                  labels_to_predict: Optional[Sequence[str]] = None,
                  probe: Optional[str] = "svm",
                  svm_Cs: Sequence[float] = (1.0, 10.0, 100.0),
@@ -108,10 +109,13 @@ class MMAESweep:
             num_feats=data_loader.num_feats, loss=self.loss_func,
             normalization="between_0_and_1", mask_with=-1.0,
             fill_missing_with=0.0)
+        # clip_gradients defaults OFF: the reference passes the flag but
+        # never applies it (SURVEY §2.8.2), and no-clip keeps the sweep in
+        # the Pallas kernel's family; pass True for the working fix.
         self.tcfg = TrainConfig(
             learning_rate=learning_rate, batch_size=batch_size,
             num_steps=num_steps, decay=True, decay_steps=1000,
-            decay_rate=0.95, clip_gradients=True,
+            decay_rate=0.95, clip_gradients=clip_gradients,
             record_every_nth=max(num_steps // 10, 1), seed=seed)
         self.optimize_for = optimize_for or ("val_" + self.loss_func)
         self.min_or_max = min_or_max
@@ -457,14 +461,17 @@ class MMAEClassificationSweep:
             loss="sigmoid_cross_entropy",
             normalization="between_0_and_1",
             num_labels=out_labels, classification_loss=cls_loss)
+        # no clipping: neither training phase clips in the reference
+        # (the MMAE flag is dead code §2.8.2; the classification opt step
+        # never clips, multimodal_autoencoder.py:443)
         self.tcfg = TrainConfig(
             learning_rate=mmae_learning_rate, batch_size=mmae_batch_size,
-            num_steps=mmae_num_steps,
+            num_steps=mmae_num_steps, clip_gradients=False,
             record_every_nth=max(mmae_num_steps // 10, 1), seed=seed)
         self.cls_tcfg = TrainConfig(
             learning_rate=classification_learning_rate,
             batch_size=classification_batch_size,
-            num_steps=classification_num_steps,
+            num_steps=classification_num_steps, clip_gradients=False,
             record_every_nth=max(classification_num_steps // 10, 1),
             seed=seed)
 

@@ -1,0 +1,75 @@
+"""Hardware-only validation (run manually on the TPU: the main test suite
+forces virtual CPU devices, where the Pallas interpret-mode PRNG is
+stateless and randomness paths cannot be validated).
+
+Run: python -m pytest tests_tpu/ -q        (on the axon/TPU machine)
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+import jax
+
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="needs real TPU hardware")
+
+
+@requires_tpu
+def test_kernel_prng_stateful():
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k(seed_ref, o_ref):
+        def body(i, _):
+            pltpu.prng_seed(seed_ref[0], i)
+            def u():
+                bits = pltpu.bitcast(pltpu.prng_random_bits((1, 128)),
+                                     jnp.int32)
+                m = jax.lax.shift_right_logical(bits, 9) | jnp.int32(
+                    0x3F800000)
+                return pltpu.bitcast(m, jnp.float32) - 1.0
+            o_ref[pl.ds(2 * i, 1), :] = u()
+            o_ref[pl.ds(2 * i + 1, 1), :] = u()
+            return 0
+        jax.lax.fori_loop(0, 4, body, 0)
+
+    out = np.asarray(pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.array([7], jnp.int32)))
+    assert len({tuple(r) for r in out}) == 8  # every call distinct
+
+
+@requires_tpu
+@pytest.mark.parametrize("variational", [False, True])
+def test_kernel_training_reduces_loss(variational):
+    from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    table = ModalityTable.uniform(5, 6, names=("call", "location",
+                                               "screen", "sms", "survey"))
+    cfg = MMAEConfig(num_feats=30, layer_sizes=(16, 6),
+                     variational=variational,
+                     tie_weights=not variational).validate()
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=8, num_steps=400,
+                       clip_gradients=False)
+    spec = NoiseSpec.build(cfg, table)
+    X = np.random.default_rng(0).random((200, 30)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X[:150]] * 2, [X[150:]] * 2)
+    hyper = gt.HyperStack.from_settings([{"dropout_prob": 1.0}], cfg, tcfg)
+
+    _, l = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg, spec,
+                                hyper, folded, num_steps=400)
+    _, l0 = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg, spec,
+                                 hyper, folded, num_steps=0)
+    assert (np.asarray(l) < np.asarray(l0)).all()
