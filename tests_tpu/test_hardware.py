@@ -73,3 +73,33 @@ def test_kernel_training_reduces_loss(variational):
     _, l0 = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg, spec,
                                  hyper, folded, num_steps=0)
     assert (np.asarray(l) < np.asarray(l0)).all()
+
+
+@requires_tpu
+def test_backends_agree_distributionally():
+    """Pallas kernel and XLA grid trainer optimize the same objective:
+    final noisy-val losses agree within a tolerance band (RNG streams
+    differ by construction)."""
+    from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    table = ModalityTable.uniform(5, 6, names=("call", "location",
+                                               "screen", "sms", "survey"))
+    cfg = MMAEConfig(num_feats=30, layer_sizes=(16, 6),
+                     tie_weights=True).validate()
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=8, num_steps=1500,
+                       clip_gradients=False)
+    spec = NoiseSpec.build(cfg, table)
+    X = np.random.default_rng(0).random((200, 30)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X[:150]] * 2, [X[150:]] * 2)
+    hyper = gt.HyperStack.from_settings([{"dropout_prob": 1.0}], cfg,
+                                        tcfg)
+    _, l_pallas = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded)
+    _, l_xla = gt.train_grid_jit(jax.random.PRNGKey(0), cfg, tcfg, spec,
+                                 hyper, folded)
+    a, b = np.asarray(l_pallas), np.asarray(l_xla)
+    assert np.abs(a - b).max() / b.max() < 0.1
