@@ -63,6 +63,7 @@ from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 
 LANE = 128
 SUB = 8
+CH = 128                         # moment-streaming chunk width (lanes)
 VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the 16 MB core
 
 
@@ -70,8 +71,11 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
-    """Estimated peak VMEM per grid cell."""
+def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
+               stream_big: bool = False) -> int:
+    """Estimated peak VMEM per grid cell.  ``stream_big``: the big encode
+    W1 / decode W4 Adam moments live in HBM and stream through chunk
+    buffers instead of VMEM."""
     F = _pad_to(cfg.num_feats, LANE)
     H1 = _pad_to(cfg.layer_sizes[0], LANE)
     H2 = _pad_to(cfg.layer_sizes[1], LANE)
@@ -83,12 +87,27 @@ def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
                                          else 0)
     param_bytes = 4 * (w_elems + b_elems)
     state_mult = 1 if tcfg.optimizer_state_dtype == "bfloat16" else 2
-    moment_bytes = 2 * state_mult * (w_elems + b_elems)
+    m_elems = w_elems + b_elems
+    if stream_big and not tied:
+        m_elems -= F * H1 + H1 * F          # W1/W4 moments in HBM
+    moment_bytes = 2 * state_mult * m_elems
+    chunk_bytes = (2 * max(F, H1) * CH * 2 * state_mult
+                   if stream_big else 0)
     staging = 4 * _pad_to(tcfg.batch_size, SUB) * SUB * F
     transient = 4 * max(F * H1, H1 * H2,
                         0 if tied else max(H2 * H1, H1 * F))
+    if stream_big and not tied:
+        transient = 4 * max(H1 * H2, H2 * H1, max(F, H1) * CH)
     acts = 4 * _pad_to(tcfg.batch_size, SUB) * (3 * F + 4 * H1 + 2 * H2)
-    return param_bytes + moment_bytes + staging + transient + acts
+    return (param_bytes + moment_bytes + chunk_bytes + staging
+            + transient + acts)
+
+
+def needs_streaming(cfg: MMAEConfig, tcfg: TrainConfig) -> bool:
+    """Big untied shapes that only fit with HBM-streamed W1/W4 moments."""
+    return (not cfg.tie_weights
+            and vmem_bytes(cfg, tcfg, stream_big=False) > VMEM_BUDGET
+            and vmem_bytes(cfg, tcfg, stream_big=True) <= VMEM_BUDGET)
 
 
 def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
@@ -100,7 +119,8 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
             and (spec.intelligent or spec.num_modalities_to_drop <= 1)
             and not tcfg.clip_gradients  # clipping not implemented here;
             # note the reference's clip flag is dead code anyway (§2.8.2)
-            and vmem_bytes(cfg, tcfg) <= VMEM_BUDGET)
+            and (vmem_bytes(cfg, tcfg) <= VMEM_BUDGET
+                 or needs_streaming(cfg, tcfg)))
 
 
 def _uniform(shape):
@@ -155,15 +175,17 @@ def _train_kernel(
         featmask_ref,              # (1, Fp)         VMEM  1 for real cols
         w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,
         wv_in, bv_in,                                            # ANY
-        # outputs (ANY; written once at the end)
+        # outputs (ANY; written once at the end) + streamed HBM moments
         w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o, wvo, bvo,
+        m1h, v1h, m4h, v4h,
         # scratch: staging + DMA sems + mutable params + Adam moments
         xbuf, sems, psem,
         w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s, wvs, bvs,
         m1, v1, mb1, vb1, m2, v2, mb2, vb2,
         m3, v3, mb3, vb3, m4, v4, mb4, vb4, mwv, vwv, mbv, vbv,
+        mchunk, vchunk,
         *, steps: int, batch: int, tied: bool, variational: bool,
-        elem_p: float, mask_value: float,
+        stream_big: bool, elem_p: float, mask_value: float,
         decay: bool, decay_steps: float, decay_rate: float,
         b1_const: float = 0.9, b2_const: float = 0.999,
         eps: float = 1e-8, dr_seed_salt: int = 0x5EED):
@@ -196,6 +218,18 @@ def _train_kernel(
     for m, v in moms:
         m[...] = jnp.zeros(m.shape, m.dtype)
         v[...] = jnp.zeros(v.shape, v.dtype)
+    if stream_big:
+        # zero the streamed W1/W4 moment buffers chunk by chunk
+        mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
+        for hbuf, rows in ((m1h, w1s.shape[0]), (v1h, w1s.shape[0]),
+                           (m4h, w4s.shape[0]), (v4h, w4s.shape[0])):
+            ncols = hbuf.shape[2]
+            for c in range(ncols // CH):
+                cp = pltpu.make_async_copy(
+                    mchunk.at[pl.ds(0, rows), :],
+                    hbuf.at[i, :, pl.ds(c * CH, CH)], psem)
+                cp.start()
+                cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     row_mask = jnp.where(
@@ -326,6 +360,47 @@ def _train_kernel(
 
         pen = 2.0 if tied else 1.0
 
+        def adam_streamed(w_scr, mh, vh, left, right):
+            # chunked Adam for one big weight: moments stream HBM<->VMEM
+            # 128 lanes at a time; grad chunk = left.T @ right[:, cols]
+            rows = w_scr.shape[0]
+            ncols = w_scr.shape[1]
+            for c in range(ncols // CH):
+                # overlap: both moment DMAs fly while the gradient chunk
+                # is computed (g does not depend on m/v)
+                cin_m = pltpu.make_async_copy(
+                    mh.at[i, :, pl.ds(c * CH, CH)],
+                    mchunk.at[pl.ds(0, rows), :], sems.at[0])
+                cin_v = pltpu.make_async_copy(
+                    vh.at[i, :, pl.ds(c * CH, CH)],
+                    vchunk.at[pl.ds(0, rows), :], sems.at[1])
+                cin_m.start()
+                cin_v.start()
+                g = (jnp.dot(left.T, right[:, c * CH:(c + 1) * CH],
+                             preferred_element_type=jnp.float32)
+                     + wpen * w_scr[:, c * CH:(c + 1) * CH])
+                cin_m.wait()
+                cin_v.wait()
+                m = (b1_const * mchunk[pl.ds(0, rows), :].astype(
+                        jnp.float32) + (1 - b1_const) * g)
+                v = (b2_const * vchunk[pl.ds(0, rows), :].astype(
+                        jnp.float32) + (1 - b2_const) * jnp.square(g))
+                mchunk[pl.ds(0, rows), :] = m.astype(mchunk.dtype)
+                vchunk[pl.ds(0, rows), :] = v.astype(vchunk.dtype)
+                w_scr[:, c * CH:(c + 1) * CH] = (
+                    w_scr[:, c * CH:(c + 1) * CH]
+                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+                cout_m = pltpu.make_async_copy(
+                    mchunk.at[pl.ds(0, rows), :],
+                    mh.at[i, :, pl.ds(c * CH, CH)], sems.at[0])
+                cout_v = pltpu.make_async_copy(
+                    vchunk.at[pl.ds(0, rows), :],
+                    vh.at[i, :, pl.ds(c * CH, CH)], sems.at[1])
+                cout_m.start()
+                cout_v.start()
+                cout_m.wait()
+                cout_v.wait()
+
         # ---- weight gradients applied tensor-by-tensor (one transient
         # weight-size gradient alive at a time) --------------------------
         if tied:
@@ -341,18 +416,22 @@ def _train_kernel(
                 + pen * wpen * w2
             adam(2, dW2, lr, bc1, bc2)
         else:
-            adam(0, jnp.dot(xn.T, g1,
-                            preferred_element_type=jnp.float32)
-                 + wpen * w1, lr, bc1, bc2)
+            if stream_big:
+                adam_streamed(w1s, m1h, v1h, xn, g1)
+                adam_streamed(w4s, m4h, v4h, a3d, g4)
+            else:
+                adam(0, jnp.dot(xn.T, g1,
+                                preferred_element_type=jnp.float32)
+                     + wpen * w1, lr, bc1, bc2)
+                adam(6, jnp.dot(a3d.T, g4,
+                                preferred_element_type=jnp.float32)
+                     + wpen * w4, lr, bc1, bc2)
             adam(2, jnp.dot(a1d.T, g2,
                             preferred_element_type=jnp.float32)
                  + wpen * w2, lr, bc1, bc2)
             adam(4, jnp.dot(z2.T, g3,
                             preferred_element_type=jnp.float32)
                  + wpen * w3, lr, bc1, bc2)
-            adam(6, jnp.dot(a3d.T, g4,
-                            preferred_element_type=jnp.float32)
-                 + wpen * w4, lr, bc1, bc2)
         if variational:
             # L2 reg includes the variance weights (:396-397)
             adam(8, jnp.dot(a1d.T, glv,
@@ -377,7 +456,8 @@ def _train_kernel(
 
 def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
                       hyper, folded, num_steps: Optional[int] = None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      force_stream: bool = False):
     """Train every (config, fold) cell with the VMEM-resident kernel.
 
     Same contract as ``grid_trainer.train_grid``: returns
@@ -402,20 +482,21 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     elem_p = (float(1.0 - (1.0 - 1.0 / cfg.num_feats) ** k_draws)
               if k_draws else 0.0)
     fn = _cached_pipeline(cfg, tcfg, int(num_steps), bool(interpret),
-                          elem_p)
+                          elem_p, bool(force_stream))
     return fn(rng, spec, hyper, folded)
 
 
 @functools.lru_cache(maxsize=128)
 def _cached_pipeline(cfg: MMAEConfig, tcfg: TrainConfig, num_steps: int,
-                     interpret: bool, elem_p: float):
+                     interpret: bool, elem_p: float,
+                     force_stream: bool = False):
     return jax.jit(functools.partial(
         _pipeline, cfg=cfg, tcfg=tcfg, num_steps=num_steps,
-        interpret=interpret, elem_p=elem_p))
+        interpret=interpret, elem_p=elem_p, force_stream=force_stream))
 
 
 def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
-              interpret, elem_p):
+              interpret, elem_p, force_stream=False):
     from multimodalautoencoder_tpu.models import mmae
 
     C = hyper.num_configs
@@ -428,6 +509,8 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     B = tcfg.batch_size
     Bp = _pad_to(B, SUB)
     tied = cfg.tie_weights
+    stream_big = ((vmem_bytes(cfg, tcfg) > VMEM_BUDGET or force_stream)
+                  and not tied)
     state_dt = (jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16"
                 else jnp.float32)
 
@@ -507,7 +590,7 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
 
     kernel = functools.partial(
         _train_kernel, steps=num_steps, batch=B, tied=tied,
-        variational=bool(cfg.variational),
+        variational=bool(cfg.variational), stream_big=stream_big,
         elem_p=elem_p, mask_value=float(cfg.mask_with),
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
@@ -529,7 +612,7 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
             pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
         ] + [anyspec()] * 10,
-        out_specs=[anyspec()] * 10,
+        out_specs=[anyspec()] * 14,
         scratch_shapes=[
             pltpu.VMEM((Bp, SUB, Fp), jnp.float32),        # panel staging
             pltpu.SemaphoreType.DMA((Bp,)),                # batch sems
@@ -547,27 +630,39 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             pltpu.VMEM((SUB, H2p) if cfg.variational else (SUB, LANE),
                        jnp.float32),
             # Adam moments (m, v) per parameter, kernel arg order
-        ] + moment_pair(Fp, H1p) + moment_pair(SUB, H1p)
+        ] + moment_pair(*((SUB, LANE) if stream_big else (Fp, H1p)))
+          + moment_pair(SUB, H1p)
           + moment_pair(H1p, H2p) + moment_pair(SUB, H2p)
           + moment_pair(*w3_rc) + moment_pair(SUB, H1p)
-          + moment_pair(*w4_rc) + moment_pair(SUB, Fp)
+          + moment_pair(*((SUB, LANE) if stream_big else w4_rc))
+          + moment_pair(SUB, Fp)
           + moment_pair(*wv_rc)
           + moment_pair(*((SUB, H2p) if cfg.variational
-                          else (SUB, LANE))),
+                          else (SUB, LANE)))
+          + [pltpu.VMEM((max(Fp, H1p), CH) if stream_big else (SUB, CH),
+                        state_dt),
+             pltpu.VMEM((max(Fp, H1p), CH) if stream_big else (SUB, CH),
+                        state_dt)],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
-                   for a in (w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)],
+                   for a in (w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)]
+        + ([jax.ShapeDtypeStruct((N, Fp, H1p), state_dt),
+            jax.ShapeDtypeStruct((N, Fp, H1p), state_dt),
+            jax.ShapeDtypeStruct((N, H1p, Fp), state_dt),
+            jax.ShapeDtypeStruct((N, H1p, Fp), state_dt)]
+           if stream_big else
+           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 4),
         interpret=(pltpu.InterpretParams() if interpret else False),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
       train, table, cum, featmask,
       w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)
 
-    (w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f, wvf, bvf) = out
+    (w1f, b1f, w2f, b2f, w3f, b3f, w4f, b4f, wvf, bvf) = out[:10]
 
     def unW(a, r, c):
         return a[:, :r, :c].reshape(C, K, r, c)

@@ -117,10 +117,34 @@ def test_supported_predicate():
     assert not tk.supported(cfg.replace(loss="mean_squared",
                                         normalization="z_score"),
                             tcfg, spec)
-    # shapes beyond the VMEM budget fall back
+    # untied 1000->100 fits via HBM-streamed W1/W4 moments
     big = cfg.replace(num_feats=1000, layer_sizes=(1000, 100),
                       tie_weights=False)
-    assert not tk.supported(big, tcfg, spec)
+    assert tk.needs_streaming(big, tcfg)
+    assert tk.supported(big, tcfg, spec)
+    # truly oversized shapes still fall back
+    huge = cfg.replace(num_feats=2000, layer_sizes=(2000, 100),
+                       tie_weights=False)
+    assert not tk.supported(huge, tcfg, spec)
+
+
+def test_streamed_moments_single_step_exact():
+    """The HBM-streamed-moment path computes the identical update."""
+    cfg, tcfg, spec, X, folded, hyper = make(False)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1,
+                                       force_stream=True)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 1))
+
+
+def test_streamed_moments_weight_penalty_exact():
+    cfg, tcfg, spec, X, folded, hyper = make(False, wpen=0.01, steps=3)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=3,
+                                       force_stream=True)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 3), tol=1e-4)
 
 
 def test_vae_kernel_runs():
