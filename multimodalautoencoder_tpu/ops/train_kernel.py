@@ -91,7 +91,8 @@ def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
     if stream_big and not tied:
         m_elems -= F * H1 + H1 * F          # W1/W4 moments in HBM
     moment_bytes = 2 * state_mult * m_elems
-    chunk_bytes = (2 * max(F, H1) * CH * 2 * state_mult
+    # m+v chunk buffers x two pipeline slots
+    chunk_bytes = (4 * max(F, H1) * CH * 2 * state_mult
                    if stream_big else 0)
     staging = 4 * _pad_to(tcfg.batch_size, SUB) * SUB * F
     transient = 4 * max(F * H1, H1 * H2,
@@ -226,7 +227,7 @@ def _train_kernel(
             ncols = hbuf.shape[2]
             for c in range(ncols // CH):
                 cp = pltpu.make_async_copy(
-                    mchunk.at[pl.ds(0, rows), :],
+                    mchunk.at[0, pl.ds(0, rows), :],
                     hbuf.at[i, :, pl.ds(c * CH, CH)], psem)
                 cp.start()
                 cp.wait()
@@ -361,45 +362,67 @@ def _train_kernel(
         pen = 2.0 if tied else 1.0
 
         def adam_streamed(w_scr, mh, vh, left, right):
-            # chunked Adam for one big weight: moments stream HBM<->VMEM
-            # 128 lanes at a time; grad chunk = left.T @ right[:, cols]
+            # chunked Adam for one big weight, two-slot software pipeline:
+            # chunk c+1's moment reads fly while chunk c's math runs, and
+            # chunk c's writebacks drain while chunk c+1 computes.  Slot s
+            # owns sems[2s] (m) and sems[2s+1] (v); a slot's out-DMA is
+            # waited before the slot is reused for an in-DMA two chunks
+            # later, so each semaphore has at most one DMA outstanding.
             rows = w_scr.shape[0]
-            ncols = w_scr.shape[1]
-            for c in range(ncols // CH):
-                # overlap: both moment DMAs fly while the gradient chunk
-                # is computed (g does not depend on m/v)
-                cin_m = pltpu.make_async_copy(
-                    mh.at[i, :, pl.ds(c * CH, CH)],
-                    mchunk.at[pl.ds(0, rows), :], sems.at[0])
-                cin_v = pltpu.make_async_copy(
-                    vh.at[i, :, pl.ds(c * CH, CH)],
-                    vchunk.at[pl.ds(0, rows), :], sems.at[1])
-                cin_m.start()
-                cin_v.start()
+            nch = w_scr.shape[1] // CH
+
+            def in_copies(c, s):
+                return (pltpu.make_async_copy(
+                            mh.at[i, :, pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rows), :],
+                            sems.at[2 * s]),
+                        pltpu.make_async_copy(
+                            vh.at[i, :, pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rows), :],
+                            sems.at[2 * s + 1]))
+
+            def out_copies(c, s):
+                return (pltpu.make_async_copy(
+                            mchunk.at[s, pl.ds(0, rows), :],
+                            mh.at[i, :, pl.ds(c * CH, CH)],
+                            sems.at[2 * s]),
+                        pltpu.make_async_copy(
+                            vchunk.at[s, pl.ds(0, rows), :],
+                            vh.at[i, :, pl.ds(c * CH, CH)],
+                            sems.at[2 * s + 1]))
+
+            for cp in in_copies(0, 0):
+                cp.start()
+            for c in range(nch):
+                s = c % 2
+                if c + 1 < nch:
+                    if c >= 1:
+                        # free the other slot: its writeback (chunk c-1)
+                        # must land before chunk c+1's read reuses it
+                        for cp in out_copies(c - 1, 1 - s):
+                            cp.wait()
+                    for cp in in_copies(c + 1, 1 - s):
+                        cp.start()
                 g = (jnp.dot(left.T, right[:, c * CH:(c + 1) * CH],
                              preferred_element_type=jnp.float32)
                      + wpen * w_scr[:, c * CH:(c + 1) * CH])
-                cin_m.wait()
-                cin_v.wait()
-                m = (b1_const * mchunk[pl.ds(0, rows), :].astype(
+                for cp in in_copies(c, s):
+                    cp.wait()
+                m = (b1_const * mchunk[s, pl.ds(0, rows), :].astype(
                         jnp.float32) + (1 - b1_const) * g)
-                v = (b2_const * vchunk[pl.ds(0, rows), :].astype(
+                v = (b2_const * vchunk[s, pl.ds(0, rows), :].astype(
                         jnp.float32) + (1 - b2_const) * jnp.square(g))
-                mchunk[pl.ds(0, rows), :] = m.astype(mchunk.dtype)
-                vchunk[pl.ds(0, rows), :] = v.astype(vchunk.dtype)
+                mchunk[s, pl.ds(0, rows), :] = m.astype(mchunk.dtype)
+                vchunk[s, pl.ds(0, rows), :] = v.astype(vchunk.dtype)
                 w_scr[:, c * CH:(c + 1) * CH] = (
                     w_scr[:, c * CH:(c + 1) * CH]
                     - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-                cout_m = pltpu.make_async_copy(
-                    mchunk.at[pl.ds(0, rows), :],
-                    mh.at[i, :, pl.ds(c * CH, CH)], sems.at[0])
-                cout_v = pltpu.make_async_copy(
-                    vchunk.at[pl.ds(0, rows), :],
-                    vh.at[i, :, pl.ds(c * CH, CH)], sems.at[1])
-                cout_m.start()
-                cout_v.start()
-                cout_m.wait()
-                cout_v.wait()
+                for cp in out_copies(c, s):
+                    cp.start()
+            for c in (nch - 2, nch - 1):
+                if c >= 0:
+                    for cp in out_copies(c, c % 2):
+                        cp.wait()
 
         # ---- weight gradients applied tensor-by-tensor (one transient
         # weight-size gradient alive at a time) --------------------------
@@ -639,10 +662,11 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
           + moment_pair(*wv_rc)
           + moment_pair(*((SUB, H2p) if cfg.variational
                           else (SUB, LANE)))
-          + [pltpu.VMEM((max(Fp, H1p), CH) if stream_big else (SUB, CH),
-                        state_dt),
-             pltpu.VMEM((max(Fp, H1p), CH) if stream_big else (SUB, CH),
-                        state_dt)],
+          # two-slot chunk pipeline buffers for the streamed moments
+          + [pltpu.VMEM((2, max(Fp, H1p), CH) if stream_big
+                        else (2, SUB, CH), state_dt),
+             pltpu.VMEM((2, max(Fp, H1p), CH) if stream_big
+                        else (2, SUB, CH), state_dt)],
     )
 
     out = pl.pallas_call(
