@@ -170,3 +170,26 @@ def test_losses_shape_and_finite():
     assert losses.shape == (1, 1)
     assert np.isfinite(np.asarray(losses)).all()
     assert params.enc_w[0].shape == (1, 1, 30, 16)
+
+
+def test_streamed_multichunk_pipeline_exact():
+    """H1p=384 gives the streamed W1 three 128-lane chunks, engaging the
+    two-slot chunk pipeline (slot order 0,1,0) across 3 steps; updates
+    must stay exact through slot reuse and deferred writebacks."""
+    cfg = MMAEConfig(
+        num_feats=30, layer_sizes=(300, 6), tie_weights=False,
+        activation="softsign", element_dropout_frac=0.0,
+        noise_type_percentages=(1.0, 0.0, 0.0, 0.0)).validate()
+    tcfg = TrainConfig(learning_rate=1e-2, batch_size=8, num_steps=3,
+                       decay=False, clip_gradients=False)
+    spec = NoiseSpec.build(cfg, TABLE)
+    X = np.random.default_rng(0).random((1, 30)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X], [X])
+    hyper = gt.HyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": 0.01,
+          "activation_function": "softsign"}], cfg, tcfg)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=3,
+                                       force_stream=True)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 3), tol=1e-4)
