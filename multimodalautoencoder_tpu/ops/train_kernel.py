@@ -64,7 +64,11 @@ from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 LANE = 128
 SUB = 8
 CH = 128                         # moment-streaming chunk width (lanes)
-VMEM_BUDGET = 14 * 1024 * 1024   # leave headroom under the 16 MB core
+# Budget under the 16 MiB core, leaving ~1 MiB for compiler-scheduled
+# temporaries.  Calibrated against hardware: the largest admitted shape
+# (tied 1000->100, 14.62 MiB estimated) compiles and trains on a v5e
+# core; shapes estimated above this fall back to the XLA grid trainer.
+VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -90,7 +94,8 @@ def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
     m_elems = w_elems + b_elems
     if stream_big and not tied:
         m_elems -= F * H1 + H1 * F          # W1/W4 moments in HBM
-    moment_bytes = 2 * state_mult * m_elems
+    # two buffers (m and v) x bytes per element (2 bf16 / 4 f32)
+    moment_bytes = 2 * m_elems * 2 * state_mult
     # m+v chunk buffers x two pipeline slots
     chunk_bytes = (4 * max(F, H1) * CH * 2 * state_mult
                    if stream_big else 0)

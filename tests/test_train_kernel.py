@@ -25,9 +25,9 @@ TABLE = ModalityTable.uniform(5, 6, names=("call", "location", "screen",
 
 
 def make(tied, act="softsign", wpen=0.0, steps=1, lr=1e-2,
-         decay=False):
+         decay=False, layer_sizes=(16, 6)):
     cfg = MMAEConfig(
-        num_feats=30, layer_sizes=(16, 6), tie_weights=tied,
+        num_feats=30, layer_sizes=layer_sizes, tie_weights=tied,
         activation=act, element_dropout_frac=0.0,
         noise_type_percentages=(1.0, 0.0, 0.0, 0.0)).validate()
     tcfg = TrainConfig(learning_rate=lr, batch_size=8, num_steps=steps,
@@ -126,6 +126,13 @@ def test_supported_predicate():
     huge = cfg.replace(num_feats=2000, layer_sizes=(2000, 100),
                        tie_weights=False)
     assert not tk.supported(huge, tcfg, spec)
+    # corrected m+v accounting: an f32-moment shape whose true scratch
+    # (~17 MiB) exceeds the core must be rejected, not compile-failed
+    import dataclasses
+    tf32 = dataclasses.replace(tcfg, optimizer_state_dtype="float32")
+    over = cfg.replace(num_feats=400, layer_sizes=(1500, 200),
+                       tie_weights=False)
+    assert not tk.supported(over, tf32, spec)
 
 
 def test_streamed_moments_single_step_exact():
@@ -176,18 +183,8 @@ def test_streamed_multichunk_pipeline_exact():
     """H1p=384 gives the streamed W1 three 128-lane chunks, engaging the
     two-slot chunk pipeline (slot order 0,1,0) across 3 steps; updates
     must stay exact through slot reuse and deferred writebacks."""
-    cfg = MMAEConfig(
-        num_feats=30, layer_sizes=(300, 6), tie_weights=False,
-        activation="softsign", element_dropout_frac=0.0,
-        noise_type_percentages=(1.0, 0.0, 0.0, 0.0)).validate()
-    tcfg = TrainConfig(learning_rate=1e-2, batch_size=8, num_steps=3,
-                       decay=False, clip_gradients=False)
-    spec = NoiseSpec.build(cfg, TABLE)
-    X = np.random.default_rng(0).random((1, 30)).astype(np.float32)
-    folded = gt.FoldedData.from_ragged([X], [X])
-    hyper = gt.HyperStack.from_settings(
-        [{"dropout_prob": 1.0, "weight_penalty": 0.01,
-          "activation_function": "softsign"}], cfg, tcfg)
+    cfg, tcfg, spec, X, folded, hyper = make(False, wpen=0.01, steps=3,
+                                             layer_sizes=(300, 6))
     params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
                                        spec, hyper, folded, num_steps=3,
                                        force_stream=True)
