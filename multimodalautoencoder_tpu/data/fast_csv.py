@@ -5,9 +5,13 @@ runtime treats dataset ingestion as part of the hot path, so a
 memory-mapped multithreaded C++ parser backs it.  ``read_csv_numeric``
 returns the numeric matrix + header + index; :func:`read_dataframe`
 reassembles a pandas DataFrame (text columns like ``dataset`` read
-separately), bit-identical to ``pd.read_csv(index_col=0)`` for the
-framework's CSV conventions.  Falls back to pandas transparently when the
-shared library is missing or the toolchain is absent.
+separately), matching ``pd.read_csv(index_col=0)`` for the framework's
+CSV conventions: numeric cells, a numeric (RangeIndex-style) index
+column, and text only in known columns.  Value parsing is bit-identical
+to pandas for those files (the scanner falls back to strtod wherever the
+fast path could double-round); non-numeric index labels are coerced to
+positional ints, unlike pandas.  Falls back to pandas transparently when
+the shared library is missing or the toolchain is absent.
 """
 
 from __future__ import annotations
@@ -39,13 +43,29 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """Is the built .so older than its sources?  Binaries are never
+    committed (they'd be unauditable and -march=native-specific), but a
+    local build can go stale after edits — rebuild rather than silently
+    shadowing source changes."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    so_mtime = os.path.getmtime(_SO_PATH)
+    for src in ("csv_loader.cpp", "Makefile"):
+        p = os.path.join(_NATIVE_DIR, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building on first use) the native library, or None."""
+    """Load (building on first use or when stale) the native library, or
+    None."""
     global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build():
+        if _stale() and not _build() and not os.path.exists(_SO_PATH):
             _lib_failed = True
             return None
         try:
@@ -134,9 +154,11 @@ _TEXT_COLUMNS = ("dataset",)
 
 
 def read_dataframe(path: str, n_threads: int = 0):
-    """pandas-DataFrame-compatible load via the native parser; equivalent
-    to ``pd.read_csv(path, index_col=0)`` for conventions-compliant files.
-    Falls back to pandas when the native library is unavailable."""
+    """pandas-DataFrame-compatible load via the native parser; matches
+    ``pd.read_csv(path, index_col=0)`` for conventions-compliant files
+    (numeric cells + numeric index; text only in the known text columns).
+    Non-numeric index labels are coerced to positional ints.  Falls back
+    to pandas when the native library is unavailable."""
     import pandas as pd
 
     lib = get_lib()

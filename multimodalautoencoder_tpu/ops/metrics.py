@@ -43,18 +43,23 @@ def roc_auc(scores: Array, true_y: Array,
     feeds hard predictions, :600).  NaN when only one class is present,
     matching the sklearn-error -> NaN degradation (:563-577)."""
     m = _mask(valid, scores.shape[0])
-    y = (true_y > 0.5).astype(jnp.float32) * m
-    pos = y
-    neg = (1.0 - (true_y > 0.5).astype(jnp.float32)) * m
+    yb = (true_y > 0.5).astype(jnp.float32)
+    pos = yb * m
+    neg = (1.0 - yb) * m
     n_pos = jnp.sum(pos)
     n_neg = jnp.sum(neg)
     s = scores.astype(jnp.float32)
-    # pairwise comparisons; O(n^2) but n is a val fold (hundreds) and it
-    # vectorizes onto the VPU. greater=1, tie=0.5
-    diff = s[:, None] - s[None, :]
-    gt = (diff > 0).astype(jnp.float32) + 0.5 * (diff == 0).astype(jnp.float32)
-    wins = jnp.sum(gt * pos[:, None] * neg[None, :])
-    auc = wins / jnp.maximum(n_pos * n_neg, 1)
+    # Mann-Whitney via tie-averaged ranks: O(n log n) sort + two binary
+    # searches (the former O(n^2) pairwise matrix materialized (C, n, n)
+    # inside vmapped sweeps).  Invalid rows are pushed to +inf so they sit
+    # past every real score and never perturb valid ranks.
+    srt = jnp.sort(jnp.where(m > 0, s, jnp.inf))
+    lo = jnp.searchsorted(srt, s, side="left")    # valid entries <  s
+    hi = jnp.searchsorted(srt, s, side="right")   # valid entries <= s
+    rank = 0.5 * (lo + hi + 1).astype(jnp.float32)  # 1-based, tie-averaged
+    sum_pos_ranks = jnp.sum(rank * pos)
+    auc = (sum_pos_ranks - n_pos * (n_pos + 1) / 2) / jnp.maximum(
+        n_pos * n_neg, 1)
     return jnp.where((n_pos > 0) & (n_neg > 0), auc, jnp.nan)
 
 

@@ -46,20 +46,30 @@ def enumerate_grid(params: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
 def add_extra_vae_params(settings: List[Dict[str, Any]],
                          vae_incompatible_defaults: Dict[str, Any] = None
                          ) -> List[Dict[str, Any]]:
-    """Mark existing combos non-variational, then append a variational copy
-    of each combo that is compatible (tie_weights=False), mirroring
-    autoencoder_wrapper.py:138-155."""
+    """Mark existing combos non-variational, then append one
+    variational+untied combo per unique projection onto the non-tie keys.
+
+    The reference builds the VAE list from the cross product of
+    (architecture x activation x dropout x penalty x init), independent of
+    which tie_weights values were swept (autoencoder_wrapper.py:138-155) —
+    so a sweep configured with tie_weights=[True] still gets its full VAE
+    set.  Projecting the enumerated settings and deduping reproduces that
+    cross product.
+    """
     out = []
     for s in settings:
         s = dict(s)
         s.setdefault("variational", False)
         out.append(s)
+    seen = set()
     for s in settings:
-        if s.get("tie_weights", False):
-            continue
         v = dict(s)
         v["variational"] = True
         v["tie_weights"] = False
+        key = tuple(sorted((k, str(val)) for k, val in v.items()))
+        if key in seen:
+            continue
+        seen.add(key)
         out.append(v)
     return out
 

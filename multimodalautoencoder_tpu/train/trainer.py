@@ -250,7 +250,7 @@ def train_classification(state: TrainState, cfg: MMAEConfig,
         return classification_step(carry, cfg, tcfg, spec, train_x,
                                    train_y)
 
-    def period(carry, _):
+    def eval_point(carry):
         rng, k_tb, k_te, k_vb, k_ve = jax.random.split(carry.rng, 5)
         st = carry._replace(rng=rng)
         t_idx = jax.random.randint(k_tb, (tcfg.batch_size,), 0,
@@ -262,13 +262,24 @@ def train_classification(state: TrainState, cfg: MMAEConfig,
             st.params, cfg, train_x[t_idx], train_y[t_idx], k_te)
         v_loss, v_acc = evaluate_classification(
             st.params, cfg, val_x[v_idx], val_y[v_idx], k_ve)
-        st, _ = lax.scan(one_step, st, None, length=record)
         return st, (t_loss, t_acc, v_loss, v_acc)
+
+    def period(carry, _):
+        st, rec = eval_point(carry)
+        st, _ = lax.scan(one_step, st, None, length=record)
+        return st, rec
 
     n_full, rem = divmod(num_steps, record)
     state, (tl, ta, vl, va) = lax.scan(period, state, None, length=n_full)
     if rem:
+        # trailing partial period records too, matching train() — a run of
+        # N steps yields ceil(N / R) curve entries in both phases
+        state, (r_tl, r_ta, r_vl, r_va) = eval_point(state)
         state, _ = lax.scan(one_step, state, None, length=rem)
+        tl = jnp.concatenate([tl, r_tl[None]])
+        ta = jnp.concatenate([ta, r_ta[None]])
+        vl = jnp.concatenate([vl, r_vl[None]])
+        va = jnp.concatenate([va, r_va[None]])
     return state, ClassificationCurves(tl, ta, vl, va)
 
 

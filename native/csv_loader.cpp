@@ -6,7 +6,10 @@
 // runtime. This native loader memory-maps the file, splits it into
 // per-thread row ranges, and parses numeric fields with a branch-light
 // strtod-style scanner. Empty fields and non-numeric text become NaN
-// (pandas semantics for missing values); quoted fields are supported.
+// (pandas semantics for missing values). Quoted fields are supported,
+// including commas inside quotes (delimiter scanning tracks quote
+// state); embedded newlines inside quotes are NOT supported (rows are
+// indexed by '\n').
 //
 // C ABI (consumed from Python via ctypes — see data/fast_csv.py):
 //   csv_open(path)            -> handle (parses header, counts rows)
@@ -90,22 +93,22 @@ inline double parse_number(const char* b, const char* e, bool* ok) {
     exp10 = eneg ? -ev : ev;
   }
   // Fast path only when exact: a <=15-digit mantissa fits a double
-  // losslessly and division by an exact power of ten rounds once, so the
-  // result matches correctly-rounded strtod bit for bit.
-  if (p != e || digits > 15) {
+  // losslessly and one multiply/divide by an exact power of ten (<=1e22)
+  // rounds once, so the result matches correctly-rounded strtod bit for
+  // bit.  Beyond that (long mantissas, |net exp| > 22) pow() would
+  // double-round — fall back to strtod.
+  int net_exp = exp10 - frac_digits;
+  if (p != e || digits > 15 || net_exp > 22 || net_exp < -22) {
     char* pe = nullptr;
     double v = strtod(b, &pe);
     *ok = (pe != b);
     return v;
   }
-  int net_exp = exp10 - frac_digits;
   double v = static_cast<double>(mant);
   if (net_exp > 0) {
-    v = (net_exp <= 22) ? v * kPow10[net_exp]
-                        : v * pow(10.0, net_exp);
+    v = v * kPow10[net_exp];
   } else if (net_exp < 0) {
-    v = (net_exp >= -22) ? v / kPow10[-net_exp]
-                         : v / pow(10.0, -net_exp);
+    v = v / kPow10[-net_exp];
   }
   *ok = true;
   return neg ? -v : v;
@@ -123,20 +126,23 @@ inline double parse_field(const char* begin, const char* end) {
 }
 
 void split_header(Csv* c, size_t hdr_end) {
-  size_t pos = 0;
   std::vector<std::string> cols;
-  while (pos <= hdr_end) {
-    const char* start = c->data + pos;
-    const char* comma = static_cast<const char*>(
-        memchr(start, ',', hdr_end - pos));
-    size_t len = comma ? static_cast<size_t>(comma - start) : hdr_end - pos;
-    std::string name(start, len);
-    while (!name.empty() && (name.back() == '\r' || name.back() == '"'))
-      name.pop_back();
-    if (!name.empty() && name.front() == '"') name.erase(0, 1);
-    cols.push_back(std::move(name));
-    if (!comma) break;
-    pos += len + 1;
+  const char* p = c->data;
+  const char* end = c->data + hdr_end;
+  const char* fstart = p;
+  bool in_q = false;
+  while (p <= end) {
+    if (p < end && *p == '"') in_q = !in_q;
+    if (p == end || (*p == ',' && !in_q)) {
+      std::string name(fstart, static_cast<size_t>(p - fstart));
+      while (!name.empty() && (name.back() == '\r' || name.back() == '"'))
+        name.pop_back();
+      if (!name.empty() && name.front() == '"') name.erase(0, 1);
+      cols.push_back(std::move(name));
+      if (p == end) break;
+      fstart = p + 1;
+    }
+    ++p;
   }
   // pandas' to_csv leads with an unnamed index column
   c->has_index = !cols.empty() && cols[0].empty();
@@ -215,8 +221,10 @@ void csv_read(void* h, double* out, double* index_out, int32_t n_threads) {
       const char* line_end_p = c->data + end;
       const char* p = fstart;
       size_t out_col = 0;
+      bool in_q = false;
       while (p <= line_end_p) {
-        if (p == line_end_p || *p == ',') {
+        if (p < line_end_p && *p == '"') in_q = !in_q;
+        if (p == line_end_p || (*p == ',' && !in_q)) {
           double v = parse_field(fstart, p);
           if (field == 0 && c->has_index) {
             if (index_out) index_out[r] = v;
@@ -266,8 +274,10 @@ char* csv_read_text_column(void* h, int64_t col_idx) {
     const char* line_end_p = c->data + end;
     const char* p = fstart;
     size_t field = 0;
+    bool in_q = false;
     while (p <= line_end_p) {
-      if (p == line_end_p || *p == ',') {
+      if (p < line_end_p && *p == '"') in_q = !in_q;
+      if (p == line_end_p || (*p == ',' && !in_q)) {
         if (field == target) {
           const char* b = fstart;
           const char* e = p;

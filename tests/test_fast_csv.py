@@ -68,3 +68,21 @@ def test_loader_native_engine(csv_path):
     assert dl_n.train_X.shape == dl_p.train_X.shape
     # same seeded shuffle + near-identical parse -> same matrices
     np.testing.assert_allclose(dl_n.train_X, dl_p.train_X, rtol=1e-12)
+
+
+def test_quoted_commas_and_extreme_exponents(tmp_path):
+    """Commas inside quoted fields must not shift columns, and |net
+    exponent| > 22 must take the correctly-rounded strtod path."""
+    p = str(tmp_path / "q.csv")
+    with open(p, "w") as f:
+        f.write(',a_x,dataset,b_y\n')
+        f.write('0,1.5,"Tr,ain",7.3e-25\n')
+        f.write('1,2.5,Val,1.2345e30\n')
+    df = fast_csv.read_dataframe(p)
+    # pandas' default parser double-rounds 7.3e-25; round_trip is the
+    # correctly-rounded (strtod-equal) reference
+    df_p = pd.read_csv(p, index_col=0, float_precision="round_trip")
+    assert list(df["a_x"]) == [1.5, 2.5]
+    assert list(df["dataset"]) == ["Tr,ain", "Val"]
+    assert df.loc[0, "b_y"] == df_p.loc[0, "b_y"] == 7.3e-25
+    assert df.loc[1, "b_y"] == df_p.loc[1, "b_y"] == 1.2345e30

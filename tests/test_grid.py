@@ -30,6 +30,19 @@ def test_add_extra_vae_params():
     assert len(dae) == 4
 
 
+def test_add_extra_vae_params_tied_only_sweep():
+    """The reference builds VAE combos from the cross product of the
+    non-tie axes (autoencoder_wrapper.py:138-155), so even a sweep with
+    tie_weights=[True] gets its full VAE set."""
+    base = grid.enumerate_grid({"tie_weights": [True],
+                                "dropout_prob": [1.0, 0.5]})
+    out = grid.add_extra_vae_params(base)
+    vae = [s for s in out if s.get("variational")]
+    assert len(vae) == 2
+    assert all(s["tie_weights"] is False for s in vae)
+    assert sorted(s["dropout_prob"] for s in vae) == [0.5, 1.0]
+
+
 def test_reference_grid_scale():
     """72 DAE + 36 VAE = 108 settings, the reference MMAE sweep scale
     (autoencoder_wrapper.py:127-155; SURVEY §6)."""

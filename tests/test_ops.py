@@ -142,3 +142,20 @@ def test_missing_modality_matrix_and_fill():
     filled = np.asarray(masking.fill_missing_with_reconstruction(
         x, recon, masks))
     assert filled.tolist() == [[9.0, 9.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]]
+
+
+def test_auc_ties_and_mask_match_sklearn():
+    """The sort-based rank AUC must keep sklearn parity under heavy ties
+    and with padded (masked-out) rows mixed in."""
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 2, size=300).astype(float)
+    scores = rng.integers(0, 5, size=300).astype(float) / 4.0  # many ties
+    valid = rng.random(300) < 0.7
+    # garbage in the padded rows must not leak into the statistic
+    scores_p = np.where(valid, scores, 99.0)
+    y_p = np.where(valid, y, 1.0)
+    got = float(metrics.roc_auc(jnp.asarray(scores_p), jnp.asarray(y_p),
+                                jnp.asarray(valid)))
+    want = roc_auc_score(y[valid], scores[valid])
+    assert got == pytest.approx(want, abs=1e-6)
