@@ -234,7 +234,8 @@ class MultimodalAutoencoder:
                                                 record_every_nth=record)
         state = trainer.TrainState(
             params=self.state.params,
-            opt_state=trainer.optim.adam_init(self.state.params),
+            opt_state=trainer.optim.opt_init(tcfg.optimizer,
+                                             self.state.params),
             step=jnp.zeros((), jnp.int32), rng=self.state.rng)
         state, curves = trainer.train_classification_jit(
             state, self.cfg, tcfg, self.spec,

@@ -138,6 +138,10 @@ class TrainConfig:
     learning_rate: float = 1e-4
     batch_size: int = 10
     num_steps: int = 30000
+    # 'adam' (reference default, multimodal_autoencoder.py:160) | 'sgd' |
+    # 'adagrad' — the set the reference's ledger-restore path recognizes
+    # (generic_wrapper.py:233-239).  Static: picks the jit trace.
+    optimizer: str = "adam"
     decay: bool = True
     decay_steps: int = 1000
     decay_rate: float = 0.95

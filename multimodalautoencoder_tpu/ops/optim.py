@@ -1,15 +1,25 @@
-"""Pure-functional Adam with traced hyperparameters.
+"""Pure-functional optimizers with traced hyperparameters.
 
-The reference uses ``tf.train.AdamOptimizer`` with exponential LR decay and
-gradient clipping configured but inert (multimodal_autoencoder.py:160,
-:356-361, :411; SURVEY.md §2.8.1-2).  This module provides a hand-rolled
-Adam whose learning rate, clip norm, and schedule are *traced scalars* —
-the property that lets a single jitted train step serve a whole ``vmap``
-batch of hyperparameter configs (config-parallel sweeps), which
-``optax``'s static-schedule closures would prevent.
+The reference defaults to ``tf.train.AdamOptimizer`` with exponential LR
+decay and gradient clipping configured but inert
+(multimodal_autoencoder.py:160, :356-361, :411; SURVEY.md §2.8.1-2), and
+its sweep-ledger restore path recognizes GradientDescent / Adagrad /
+Adam optimizer strings (generic_wrapper.py:233-239).  This module
+provides all three, hand-rolled so the learning rate, clip norm, and
+schedule are *traced scalars* — the property that lets a single jitted
+train step serve a whole ``vmap`` batch of hyperparameter configs
+(config-parallel sweeps), which ``optax``'s static-schedule closures
+would prevent.
 
-Formulation matches TF/optax defaults: b1=0.9, b2=0.999, eps=1e-8,
-update = -lr * m_hat / (sqrt(v_hat) + eps), bias-corrected.
+Formulations match TF1 semantics:
+- adam: b1=0.9, b2=0.999, eps=1e-8, bias-corrected
+  update = -lr * m_hat / (sqrt(v_hat) + eps)
+- sgd (GradientDescentOptimizer): p -= lr * g
+- adagrad (AdagradOptimizer): accumulator init 0.1, acc += g^2,
+  p -= lr * g / sqrt(acc)
+
+``opt_init(name, ...)`` / ``opt_update(name, ...)`` dispatch on the
+static optimizer name from ``TrainConfig.optimizer``.
 """
 
 from __future__ import annotations
@@ -81,6 +91,89 @@ def adam_update(grads, state: AdamState, params, lr,
         / (jnp.sqrt(v.astype(jnp.float32) / bc2) + eps),
         params, mu, nu)
     return new_params, AdamState(count=count, mu=mu, nu=nu)
+
+
+class SGDState(NamedTuple):
+    """GradientDescentOptimizer carries no state; count kept for parity
+    with the other optimizers' step accounting."""
+    count: Array
+
+
+def sgd_init(params, state_dtype=None) -> SGDState:
+    del params, state_dtype
+    return SGDState(count=jnp.zeros((), jnp.int32))
+
+
+def sgd_update(grads, state: SGDState, params, lr,
+               clip_norm: Optional[object] = None):
+    """tf.train.GradientDescentOptimizer: p -= lr * g."""
+    if clip_norm is not None:
+        grads = clip_by_global_norm(grads, clip_norm)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                        params, grads)
+    return new_params, SGDState(count=state.count + 1)
+
+
+class AdagradState(NamedTuple):
+    count: Array
+    acc: object    # pytree like params
+
+
+def adagrad_init(params, state_dtype=None,
+                 initial_accumulator: float = 0.1) -> AdagradState:
+    """TF1 AdagradOptimizer default initial_accumulator_value=0.1 (which
+    is also what makes the no-epsilon update well-defined)."""
+    def z(p):
+        return jnp.full(p.shape, initial_accumulator,
+                        state_dtype or p.dtype)
+
+    return AdagradState(count=jnp.zeros((), jnp.int32),
+                        acc=jax.tree_util.tree_map(z, params))
+
+
+def adagrad_update(grads, state: AdagradState, params, lr,
+                   clip_norm: Optional[object] = None):
+    """tf.train.AdagradOptimizer: acc += g^2; p -= lr * g / sqrt(acc)."""
+    if clip_norm is not None:
+        grads = clip_by_global_norm(grads, clip_norm)
+    acc = jax.tree_util.tree_map(
+        lambda a, g: (a.astype(jnp.float32) + g * g).astype(a.dtype),
+        state.acc, grads)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g, a: p - lr * g / jnp.sqrt(a.astype(jnp.float32)),
+        params, grads, acc)
+    return new_params, AdagradState(count=state.count + 1, acc=acc)
+
+
+OPTIMIZERS = ("adam", "sgd", "adagrad")
+
+
+def opt_init(name: str, params, state_dtype=None):
+    """Optimizer state for ``name`` ('adam' | 'sgd' | 'adagrad' — the
+    reference's recognized set, generic_wrapper.py:233-239)."""
+    if name == "adam":
+        return adam_init(params, state_dtype)
+    if name == "sgd":
+        return sgd_init(params, state_dtype)
+    if name == "adagrad":
+        return adagrad_init(params, state_dtype)
+    raise ValueError(f"unknown optimizer {name!r}; expected one of "
+                     f"{OPTIMIZERS}")
+
+
+def opt_update(name: str, grads, state, params, lr,
+               clip_norm: Optional[object] = None):
+    """One update step of the named optimizer.  ``lr``/``clip_norm`` may
+    be traced; ``name`` must be static (it picks the trace)."""
+    if name == "adam":
+        return adam_update(grads, state, params, lr, clip_norm=clip_norm)
+    if name == "sgd":
+        return sgd_update(grads, state, params, lr, clip_norm=clip_norm)
+    if name == "adagrad":
+        return adagrad_update(grads, state, params, lr,
+                              clip_norm=clip_norm)
+    raise ValueError(f"unknown optimizer {name!r}; expected one of "
+                     f"{OPTIMIZERS}")
 
 
 def exponential_decay(lr0, step, decay_steps, decay_rate,

@@ -124,6 +124,8 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
     return (len(cfg.layer_sizes) == 2
             and cfg.loss == "sigmoid_cross_entropy"
             and cfg.classification_layer_sizes is None
+            and tcfg.optimizer == "adam"  # kernel hard-codes Adam; the
+            # sgd/adagrad axis falls back to the XLA grid trainer
             and (spec.intelligent or spec.num_modalities_to_drop <= 1)
             and not tcfg.clip_gradients  # clipping not implemented here;
             # note the reference's clip flag is dead code anyway (§2.8.2)

@@ -206,7 +206,7 @@ def _train_one_instance(rng: Array, hyper: dict, cfg: MMAEConfig,
     params = mmae.init(k_init, cfg)
     sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
         else None
-    state = (params, optim.adam_init(params, sdt),
+    state = (params, optim.opt_init(tcfg.optimizer, params, sdt),
              jnp.zeros((), jnp.int32), k_run)
 
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
@@ -233,8 +233,9 @@ def _train_one_instance(rng: Array, hyper: dict, cfg: MMAEConfig,
                                          tcfg.decay_staircase)
         else:
             lr = hyper["lr"]
-        params, opt_state = optim.adam_update(grads, opt_state, params, lr,
-                                              clip_norm=clip)
+        params, opt_state = optim.opt_update(tcfg.optimizer, grads,
+                                             opt_state, params, lr,
+                                             clip_norm=clip)
         return (params, opt_state, step + 1, rng), loss
 
     state, _ = jax.lax.scan(one_step, state, None, length=num_steps)
@@ -383,7 +384,7 @@ def _train_classification_instance(rng: Array, params, enc_act_id: Array,
     (params, val predictions on the padded fold-val set)."""
     sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
         else None
-    state = (params, optim.adam_init(params, sdt),
+    state = (params, optim.opt_init(tcfg.optimizer, params, sdt),
              jnp.zeros((), jnp.int32), rng)
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
 
@@ -403,9 +404,10 @@ def _train_classification_instance(rng: Array, params, enc_act_id: Array,
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state = optim.adam_update(grads, opt_state, params,
-                                              tcfg.learning_rate,
-                                              clip_norm=clip)
+        params, opt_state = optim.opt_update(tcfg.optimizer, grads,
+                                             opt_state, params,
+                                             tcfg.learning_rate,
+                                             clip_norm=clip)
         return (params, opt_state, step + 1, rng), loss
 
     state, _ = jax.lax.scan(one_step, state, None, length=num_steps)

@@ -26,9 +26,11 @@ from typing import Any, Dict, Iterable, List, Sequence, Tuple
 
 # keys whose value changes parameter-pytree shapes or trace structure
 # -> vmap bucket key (weight_initialization branches the init trace;
-# architectures/classification layers change shapes)
+# architectures/classification layers change shapes; the optimizer picks
+# the update-step trace and its state pytree)
 SHAPE_KEYS = ("architecture", "mmae_architecture", "classification_layers",
-              "tie_weights", "variational", "weight_initialization")
+              "tie_weights", "variational", "weight_initialization",
+              "optimizer")
 
 
 def enumerate_grid(params: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
@@ -112,7 +114,8 @@ def convert_param_dict_for_use(setting: Dict[str, Any]) -> Dict[str, Any]:
         s["batch_size"] = int(float(s["batch_size"]))
     if "optimizer" in s and isinstance(s["optimizer"], str):
         low = s["optimizer"].lower()
-        s["optimizer"] = ("sgd" if "gradientdescent" in low
+        s["optimizer"] = ("sgd" if ("gradientdescent" in low
+                                    or low == "sgd")
                           else "adagrad" if "adagrad" in low else "adam")
     return s
 

@@ -78,7 +78,8 @@ class MMAESweep:
                  mesh=None, save_results_every_nth: int = 1,
                  seed: int = 0, verbose: bool = True,
                  process_shard=None, save_best_params: bool = False,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 optimizers: Optional[Sequence[str]] = None):
         """``process_shard``: optional (process_index, process_count) for
         multi-host DCN scale-out — this host sweeps only its round-robin
         slice of the grid and writes a shard ledger
@@ -129,6 +130,12 @@ class MMAESweep:
             "activation_function": list(activation_funcs),
             "variational": [False],
         }  # autoencoder_wrapper.py:127-136
+        if optimizers is not None:
+            # optional swept optimizer axis (the reference fixes Adam but
+            # its restore path recognizes sgd/adagrad too,
+            # generic_wrapper.py:233-239); each value is its own shape
+            # bucket since the update trace differs
+            params["optimizer"] = [str(o) for o in optimizers]
         settings = grid_lib.enumerate_grid(params)
         if test_variational:
             settings = grid_lib.add_extra_vae_params(settings)
@@ -303,10 +310,13 @@ class MMAESweep:
         for bi, (key, bucket) in enumerate(buckets):
             t0 = time.time()
             cfg = self._cfg_for_bucket(bucket[0])
-            hyper = gt.HyperStack.from_settings(bucket, cfg, self.tcfg)
+            tcfg = self.tcfg
+            if "optimizer" in bucket[0]:
+                tcfg = tcfg.replace(optimizer=str(bucket[0]["optimizer"]))
+            hyper = gt.HyperStack.from_settings(bucket, cfg, tcfg)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
             params, losses = gt.train_grid_sharded(
-                self.mesh, rng, cfg, self.tcfg, self.spec, hyper,
+                self.mesh, rng, cfg, tcfg, self.spec, hyper,
                 self.folded, backend=self.backend)
             losses = np.asarray(losses)            # (C, K)
 
@@ -372,11 +382,14 @@ class MMAESweep:
             dropout_prob=float(setting.get("dropout_prob", 1.0)),
             weight_penalty=float(setting.get("weight_penalty", 0.0)),
             activation=setting.get("activation_function", "softsign"))
+        tcfg = self.tcfg
+        if "optimizer" in setting:
+            tcfg = tcfg.replace(optimizer=str(setting["optimizer"]))
         self.data_loader.set_to_cross_validation_fold(0)
         arr = self.data_loader.device_arrays()
         state = trainer.init_state(jax.random.PRNGKey(self.seed), cfg,
-                                   self.tcfg)
-        state, _ = trainer.train_jit(state, cfg, self.tcfg, self.spec,
+                                   tcfg)
+        state, _ = trainer.train_jit(state, cfg, tcfg, self.spec,
                                      arr["train_x"], arr["val_x"])
         _, loss = trainer.predict(state.params, cfg, arr["test_x"])
         return float(loss)
@@ -675,7 +688,8 @@ class MMAEClassificationSweep:
         cls_tcfg = self.cls_tcfg
         state2 = trainer.TrainState(
             params=state.params,
-            opt_state=trainer.optim.adam_init(state.params),
+            opt_state=trainer.optim.opt_init(cls_tcfg.optimizer,
+                                             state.params),
             step=jnp.zeros((), jnp.int32), rng=state.rng)
         state2, _ = trainer.train_classification_jit(
             state2, cfg, cls_tcfg, spec, cls_arr["train_x"],

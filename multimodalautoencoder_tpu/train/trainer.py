@@ -67,8 +67,9 @@ def learning_rate_at(tcfg: TrainConfig, step: Array,
 def _apply_update(state: TrainState, grads, tcfg: TrainConfig, lr0=None):
     lr = learning_rate_at(tcfg, state.step, lr0)
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
-    params, opt_state = optim.adam_update(grads, state.opt_state,
-                                          state.params, lr, clip_norm=clip)
+    params, opt_state = optim.opt_update(tcfg.optimizer, grads,
+                                         state.opt_state, state.params,
+                                         lr, clip_norm=clip)
     return params, opt_state
 
 
@@ -82,8 +83,8 @@ def init_state(rng: Array, cfg: MMAEConfig,
     k_init, k_run = jax.random.split(jax.random.fold_in(rng, tcfg.seed))
     params = mmae.init(k_init, cfg)
     return TrainState(params=params,
-                      opt_state=optim.adam_init(params,
-                                                _state_dtype(tcfg)),
+                      opt_state=optim.opt_init(tcfg.optimizer, params,
+                                               _state_dtype(tcfg)),
                       step=jnp.zeros((), jnp.int32), rng=k_run)
 
 

@@ -159,3 +159,40 @@ def test_auc_ties_and_mask_match_sklearn():
                                 jnp.asarray(valid)))
     want = roc_auc_score(y[valid], scores[valid])
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_sgd_update_semantics():
+    """GradientDescentOptimizer: p -= lr * g, stateless."""
+    from multimodalautoencoder_tpu.ops import optim
+    params = {"w": jnp.asarray([1.0, -2.0]), "b": jnp.asarray(0.5)}
+    grads = {"w": jnp.asarray([0.1, 0.2]), "b": jnp.asarray(-1.0)}
+    st = optim.opt_init("sgd", params)
+    new, st2 = optim.opt_update("sgd", grads, st, params, 0.5)
+    np.testing.assert_allclose(np.asarray(new["w"]), [0.95, -2.1],
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(new["b"]), 1.0, rtol=1e-6)
+    assert int(st2.count) == 1
+
+
+def test_adagrad_update_semantics():
+    """tf.train.AdagradOptimizer: acc starts at 0.1, acc += g^2,
+    p -= lr * g / sqrt(acc)."""
+    from multimodalautoencoder_tpu.ops import optim
+    params = {"w": np.asarray([1.0, 1.0], np.float32)}
+    grads1 = {"w": np.asarray([0.3, -0.4], np.float32)}
+    grads2 = {"w": np.asarray([0.1, 0.2], np.float32)}
+    st = optim.opt_init("adagrad", params)
+    p = {k: jnp.asarray(v) for k, v in params.items()}
+    p, st = optim.opt_update("adagrad", grads1, st, p, 0.5)
+    p, st = optim.opt_update("adagrad", grads2, st, p, 0.5)
+    acc = 0.1 + np.asarray([0.3, -0.4]) ** 2
+    want = np.asarray([1.0, 1.0]) - 0.5 * np.asarray([0.3, -0.4]) / np.sqrt(acc)
+    acc = acc + np.asarray([0.1, 0.2]) ** 2
+    want = want - 0.5 * np.asarray([0.1, 0.2]) / np.sqrt(acc)
+    np.testing.assert_allclose(np.asarray(p["w"]), want, rtol=1e-5)
+
+
+def test_opt_unknown_name():
+    from multimodalautoencoder_tpu.ops import optim
+    with pytest.raises(ValueError):
+        optim.opt_init("rmsprop", {"w": jnp.zeros(2)})

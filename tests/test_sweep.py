@@ -170,3 +170,27 @@ def test_classification_sweep_single_label(loaders, tmp_path):
     df = pd.read_csv(sweep.ledger.path, index_col=0)
     assert len(df) == 1
     assert df["val_acc"].between(0, 1).all()
+
+
+def test_mmae_sweep_swept_optimizer(loaders, tmp_path):
+    """The optimizer axis (sgd/adagrad/adam) sweeps end-to-end: each
+    optimizer is its own shape bucket (the update trace differs) and the
+    ledger carries the column (generic_wrapper.py:233-239 contract)."""
+    unsup, sup = loaders
+    sweep = wrappers.MMAESweep(
+        unsup, layer_sizes=[[12, 6]], tie_weights=[True],
+        dropout_probs=[1.0], weight_penalties=[0.0],
+        activation_funcs=["softsign"], test_variational=False,
+        optimizers=("adam", "sgd", "adagrad"),
+        results_path=str(tmp_path), num_steps=40, num_cross_folds=2,
+        probe=None, verbose=False)
+    assert sweep.num_settings == 3
+    sweep.run()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert sorted(df["optimizer"]) == ["adagrad", "adam", "sgd"]
+    assert df["val_sigmoid_cross_entropy"].notna().all()
+    # restored-from-CSV settings parse back to the SAME optimizer name
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+    for _, row in df.iterrows():
+        parsed = grid_lib.convert_param_dict_for_use(row.to_dict())
+        assert parsed["optimizer"] == row["optimizer"]
