@@ -72,7 +72,7 @@ class MMAESweep:
                  learning_rate: float = 1e-3,
                  clip_gradients: bool = False,
                  labels_to_predict: Optional[Sequence[str]] = None,
-                 probe: Optional[str] = "svm",
+                 probe: Optional[str] = "device",
                  svm_Cs: Sequence[float] = (1.0, 10.0, 100.0),
                  svm_gammas: Sequence[float] = (0.01, 0.001),
                  mesh=None, save_results_every_nth: int = 1,
@@ -80,7 +80,12 @@ class MMAESweep:
                  process_shard=None, save_best_params: bool = False,
                  backend: str = "auto",
                  optimizers: Optional[Sequence[str]] = None):
-        """``process_shard``: optional (process_index, process_count) for
+        """``probe``: 'device' (default) scores embedding quality with the
+        jitted on-device RBF kernel-ridge probe (sweep/probe.py) — same
+        ledger columns, no device->host embedding pulls; 'svm' is the
+        faithful host-side sklearn SVC grid the reference runs
+        (autoencoder_wrapper.py:202-284); None disables.
+        ``process_shard``: optional (process_index, process_count) for
         multi-host DCN scale-out — this host sweeps only its round-robin
         slice of the grid and writes a shard ledger
         (parallel/multihost.py).  ``save_best_params``: checkpoint the
@@ -162,9 +167,15 @@ class MMAESweep:
         self.folded = gt.FoldedData.from_loader(data_loader,
                                                 num_cross_folds)
         self._cls_folds = None
-        if self.cls_loader is not None:
+        self._cls_folded = None
+        if self.cls_loader is not None and self.probe == "svm":
             self._cls_folds = [
                 self._cls_fold_arrays(f) for f in range(num_cross_folds)]
+        elif self.cls_loader is not None and self.probe == "device":
+            has_noisy = "logistics_noisy" in self.cls_loader.df.columns
+            self._cls_folded = gt.FoldedData.from_loader(
+                self.cls_loader, num_cross_folds, supervised=True,
+                noisy_flags=has_noisy)
 
     # ------------------------------------------------------------------
     def _cls_fold_arrays(self, fold: int):
@@ -261,6 +272,14 @@ class MMAESweep:
                     c_accs[c, f, l] = best["c_acc"]
                     c_aucs[c, f, l] = best["c_auc"]
 
+        return self._probe_rows(accs, aucs, n_accs, n_aucs, c_accs,
+                                c_aucs, num_configs)
+
+    def _probe_rows(self, accs, aucs, n_accs, n_aucs, c_accs, c_aucs,
+                    num_configs: int):
+        """Per-config ledger columns from (C, K, L) probe metrics:
+        per-label + aggregate nanmeans over folds, val/noisy/clean
+        (autoencoder_wrapper.py:324-341)."""
         rows = []
         for c in range(num_configs):
             row = {}
@@ -283,6 +302,30 @@ class MMAESweep:
             row["svm_clean_val_auc"] = engine.nanmean(c_aucs[c])
             rows.append(row)
         return rows
+
+    def _device_probe_bucket(self, params, cfg, hyper, num_configs: int,
+                             rng):
+        """On-device kernel-ridge probe (sweep/probe.py): one jitted call
+        per bucket, only the (C, K, L, 3, 2) metric tensor crosses the
+        device->host tunnel."""
+        from multimodalautoencoder_tpu.sweep import probe as probe_lib
+
+        n_labels = min(len(self.labels),
+                       int(self._cls_folded.train_y.shape[-1])
+                       if self._cls_folded.train_y.ndim == 3 else 1)
+        best = probe_lib.probe_grid(
+            rng, params, hyper.act_id[:num_configs], self._cls_folded,
+            cfg=cfg, Cs=tuple(float(c) for c in self.svm_Cs),
+            gammas=tuple(float(g) for g in self.svm_gammas),
+            num_labels=n_labels)
+        best = np.asarray(best)                       # (C, K, L, 3, 2)
+        L = len(self.labels)
+        full = np.full(best.shape[:2] + (L, 3, 2), np.nan)
+        full[:, :, :best.shape[2]] = best
+        return self._probe_rows(
+            full[..., 0, 0], full[..., 0, 1], full[..., 1, 0],
+            full[..., 1, 1], full[..., 2, 0], full[..., 2, 1],
+            num_configs)
 
     @staticmethod
     def _best(svm, emb, Y, l, best, prefix):
@@ -321,9 +364,14 @@ class MMAESweep:
             losses = np.asarray(losses)            # (C, K)
 
             probe_rows = None
-            if self.probe == "svm":
+            if self.probe == "svm" and self._cls_folds is not None:
                 probe_rows = self._svm_probe_bucket(params, cfg, hyper,
                                                     len(bucket))
+            elif self.probe == "device" and self._cls_folded is not None:
+                probe_rows = self._device_probe_bucket(
+                    params, cfg, hyper, len(bucket),
+                    jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
+                                       bi))
 
             if self.save_best_params:
                 mean_losses = losses.mean(axis=1)

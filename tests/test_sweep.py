@@ -194,3 +194,67 @@ def test_mmae_sweep_swept_optimizer(loaders, tmp_path):
     for _, row in df.iterrows():
         parsed = grid_lib.convert_param_dict_for_use(row.to_dict())
         assert parsed["optimizer"] == row["optimizer"]
+
+
+def test_device_probe_separates(tmp_path):
+    """The on-device kernel-ridge probe must score a linearly separable
+    embedding near-perfectly and an uninformative one near chance."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.models import mmae
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    from multimodalautoencoder_tpu.sweep import probe as probe_lib
+
+    rng = np.random.default_rng(0)
+    n, f = 120, 10
+    # feature 0 carries the label; the rest is noise
+    y = rng.integers(0, 2, size=2 * n).astype(float)
+    X = rng.normal(size=(2 * n, f)).astype(np.float32) * 0.1
+    X[:, 0] = y * 2.0 - 1.0 + rng.normal(size=2 * n) * 0.05
+    folded = gt.FoldedData.from_ragged(
+        [X[:n]], [X[n:]], train_y_list=[y[:n, None]],
+        val_y_list=[y[n:, None]])
+
+    cfg = MMAEConfig(num_feats=f, layer_sizes=(8, 6),
+                     tie_weights=False).validate()
+    # identity-ish embedding: params from init (first layer mixes x in);
+    # the probe only needs the embedding to carry the signal, which a
+    # random projection of x does
+    params = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(
+        jax.random.split(jax.random.PRNGKey(0), 1).reshape(1, 1, 2))
+    best = probe_lib.probe_grid(
+        jax.random.PRNGKey(1), params,
+        jnp.zeros((1,), jnp.int32), folded, cfg=cfg,
+        Cs=(1.0, 10.0), gammas=(0.1, 0.01), num_labels=1)
+    best = np.asarray(best)        # (C=1, K=1, L=1, 3, 2)
+    assert best.shape == (1, 1, 1, 3, 2)
+    acc = best[0, 0, 0, 0, 0]
+    auc = best[0, 0, 0, 0, 1]
+    assert acc > 0.9               # separable signal found
+    assert auc > 0.9
+    # noisy/clean slices: no logistics flags -> noisy slice empty -> 0
+    assert (best[0, 0, 0, 1, :] == 0).all()
+
+
+def test_mmae_sweep_device_probe(loaders, tmp_path):
+    """MMAESweep with the default on-device probe writes the same ledger
+    columns as the sklearn path."""
+    unsup, sup = loaders
+    sweep = wrappers.MMAESweep(
+        unsup, classification_data_loader=sup,
+        layer_sizes=[[16, 6]], tie_weights=[True],
+        dropout_probs=[1.0], weight_penalties=[0.0],
+        activation_funcs=["softsign"], test_variational=False,
+        results_path=str(tmp_path), num_steps=60, num_cross_folds=2,
+        labels_to_predict=["happy_label", "health_label"],
+        svm_Cs=[1.0, 10.0], svm_gammas=[0.01], verbose=False)
+    assert sweep.probe == "device"
+    sweep.run()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    for col in ("svm_val_acc", "svm_val_auc", "svm_noisy_val_acc",
+                "svm_clean_val_auc", "svm_val_acc_happy_label",
+                "svm_clean_val_acc_health_label"):
+        assert col in df.columns, col
+    assert df["svm_val_acc"].between(0, 1).all()
