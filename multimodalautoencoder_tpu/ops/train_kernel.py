@@ -502,6 +502,24 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     one cached jit — the tunnel-attached platform charges ~1 s per
     dispatch, so the padding/eval glue must not run op-by-op.
     """
+    statics = pipeline_statics(cfg, tcfg, spec, num_steps, interpret,
+                               force_stream)
+    fn = _cached_pipeline(*statics)
+    return fn(rng, spec, hyper, folded)
+
+
+def pipeline_statics(cfg: MMAEConfig, tcfg: TrainConfig, spec,
+                     num_steps: Optional[int] = None,
+                     interpret: Optional[bool] = None,
+                     force_stream: bool = False):
+    """Resolve + validate the kernel pipeline's static configuration.
+
+    Returns the hashable key (cfg, tcfg, num_steps, interpret, elem_p,
+    force_stream) that fully determines the trace — callers that wrap the
+    pipeline in their own transforms (e.g. ``shard_map`` over the mesh's
+    config axis, parallel/grid_trainer.py) use it as a compile-cache key
+    and feed it to :func:`pipeline_from_statics`.
+    """
     cfg = cfg.validate()
     if not supported(cfg, tcfg, spec):
         raise ValueError("configuration outside the kernel's shape/memory"
@@ -514,9 +532,18 @@ def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
     k_draws = spec.num_element_drops
     elem_p = (float(1.0 - (1.0 - 1.0 / cfg.num_feats) ** k_draws)
               if k_draws else 0.0)
-    fn = _cached_pipeline(cfg, tcfg, int(num_steps), bool(interpret),
-                          elem_p, bool(force_stream))
-    return fn(rng, spec, hyper, folded)
+    return (cfg, tcfg, int(num_steps), bool(interpret), elem_p,
+            bool(force_stream))
+
+
+def pipeline_from_statics(cfg, tcfg, num_steps, interpret, elem_p,
+                          force_stream=False):
+    """The raw (rng, spec, hyper, folded) -> (params, losses) pipeline
+    with statics baked in and NO jit — for wrapping in outer transforms
+    (shard_map).  Statics come from :func:`pipeline_statics`."""
+    return functools.partial(
+        _pipeline, cfg=cfg, tcfg=tcfg, num_steps=num_steps,
+        interpret=interpret, elem_p=elem_p, force_stream=force_stream)
 
 
 @functools.lru_cache(maxsize=128)
@@ -690,7 +717,13 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             jax.ShapeDtypeStruct((N, H1p, Fp), state_dt)]
            if stream_big else
            [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 4),
-        interpret=(pltpu.InterpretParams() if interpret else False),
+        # eager DMA execution: the default "on_wait" semaphore-driven
+        # interpreter deadlocks when several mesh shards run multi-program
+        # grids concurrently in one process (shard_map on the virtual CPU
+        # mesh); eager mode executes copies at issue, which this kernel's
+        # program order makes equivalent
+        interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
+                   if interpret else False),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
       train, table, cum, featmask,

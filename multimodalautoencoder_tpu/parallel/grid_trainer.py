@@ -26,11 +26,13 @@ full fold-val set, report-scaled reconstruction loss.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 from multimodalautoencoder_tpu.models import mmae
@@ -298,6 +300,8 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
     ``backend``: 'xla' (vmapped scan), 'pallas' (the VMEM-resident
     training mega-kernel, ops/train_kernel.py), or 'auto' — pallas on
     real TPU when the config is in the kernel's shape family, else XLA.
+    Both backends shard the config axis over the mesh; the pallas path
+    runs one kernel grid per device via shard_map.
 
     Pads the config count to a multiple of the mesh's config-axis size
     (duplicating the last row) and drops the padding from the results.
@@ -317,11 +321,17 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
 
     if backend == "pallas":
         from multimodalautoencoder_tpu.ops import train_kernel
-        # the kernel grids over instances itself; mesh sharding of the
-        # pallas grid over multiple chips is future work (single kernel
-        # per chip today)
-        params, losses = train_kernel.train_grid_pallas(
-            rng, cfg, tcfg, spec, hyper, folded, num_steps)
+        if mesh.shape[mesh_lib.CONFIG_AXIS] > 1:
+            # shard the config stack over the mesh: every chip runs its
+            # own kernel grid on its slice; instances are independent so
+            # the hot loop has zero collectives
+            statics = train_kernel.pipeline_statics(cfg, tcfg, spec,
+                                                    num_steps)
+            fn = _pallas_sharded_jit(mesh, *statics)
+            params, losses = fn(rng, spec, hyper, folded)
+        else:
+            params, losses = train_kernel.train_grid_pallas(
+                rng, cfg, tcfg, spec, hyper, folded, num_steps)
     else:
         hyper = mesh_lib.shard_leading_axis(hyper, mesh)
         folded = jax.device_put(folded, mesh_lib.replicated(mesh))
@@ -329,6 +339,33 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
                                         folded, num_steps)
     trim = lambda a: a[:C]
     return (jax.tree_util.tree_map(trim, params), losses[:C])
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_sharded_jit(mesh, cfg, tcfg, num_steps, interpret, elem_p,
+                        force_stream):
+    """Compile-cached shard_map of the Pallas training pipeline over the
+    mesh's config axis.  Each device's shard folds its axis index into
+    the RNG so instances draw independent streams; a v4-8 runs 4-8
+    kernel grids concurrently.  Validated on the 8-device CPU mesh in
+    interpret mode (tests + dryrun_multichip)."""
+    from multimodalautoencoder_tpu.ops import train_kernel
+
+    fn = train_kernel.pipeline_from_statics(cfg, tcfg, num_steps,
+                                            interpret, elem_p,
+                                            force_stream)
+
+    def local(rng, spec, hyper, folded):
+        rng = jax.random.fold_in(
+            rng, jax.lax.axis_index(mesh_lib.CONFIG_AXIS))
+        return fn(rng, spec, hyper, folded)
+
+    sm = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(mesh_lib.CONFIG_AXIS), P()),
+                       out_specs=(P(mesh_lib.CONFIG_AXIS),
+                                  P(mesh_lib.CONFIG_AXIS)),
+                       check_vma=False)
+    return jax.jit(sm)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -190,3 +190,49 @@ def test_streamed_multichunk_pipeline_exact():
                                        force_stream=True)
     pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
     assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 3), tol=1e-4)
+
+
+def test_pallas_sharded_matches_per_shard_runs():
+    """shard_map'd kernel (one grid per device) must equal running each
+    shard's slice through the unsharded kernel with that shard's folded
+    RNG — pins the shard_map wiring (rng fold, contiguous hyper
+    slicing, output layout) exactly.
+
+    4-device sub-mesh, 2 configs/shard x 2 folds: the interpret
+    machinery's global device barrier starves this box's single-CPU
+    callback pool at 8 concurrent multi-program devices (a simulator
+    limit, not a kernel property — real chips compile via Mosaic), so
+    the full-width case is covered at one program per device by
+    dryrun_multichip and the hardware tests.
+    """
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+
+    cfg, tcfg, spec, X, _, _ = make(tied=True, steps=3)
+    folded = gt.FoldedData.from_ragged([X, X], [X, X])   # K=2
+    settings = [{"dropout_prob": 1.0, "weight_penalty": float(w),
+                 "activation_function": "softsign"}
+                for w in np.linspace(0.0, 0.01, 8)]
+    hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:4], shape=(4, 1))
+
+    params_sh, losses_sh = gt.train_grid_sharded(
+        mesh, jax.random.PRNGKey(0), cfg, tcfg, spec, hyper, folded,
+        num_steps=3, backend="pallas")
+    losses_sh = np.asarray(losses_sh)
+    assert losses_sh.shape == (8, 2)
+
+    for shard in (0, 1, 3):
+        sl = slice(2 * shard, 2 * shard + 2)
+        h_i = gt.HyperStack(lr=hyper.lr[sl], keep_prob=hyper.keep_prob[sl],
+                            weight_penalty=hyper.weight_penalty[sl],
+                            act_id=hyper.act_id[sl])
+        p_i, l_i = tk.train_grid_pallas(
+            jax.random.fold_in(jax.random.PRNGKey(0), shard), cfg, tcfg,
+            spec, h_i, folded, num_steps=3)
+        np.testing.assert_allclose(losses_sh[sl], np.asarray(l_i),
+                                   rtol=1e-5)
+        w_sh = np.asarray(jax.tree_util.tree_leaves(params_sh)[0][sl])
+        w_i = np.asarray(jax.tree_util.tree_leaves(p_i)[0])
+        np.testing.assert_allclose(w_sh, w_i, rtol=1e-5)
