@@ -14,6 +14,7 @@ unseeded global numpy; fold assignment honors ``num_folds``.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -237,11 +238,22 @@ class DataLoader:
 
     def fill_df_with_reconstruction(self, df: pd.DataFrame,
                                     Xbar: np.ndarray,
-                                    verbose: bool = False) -> pd.DataFrame:
+                                    verbose: bool = False,
+                                    plot_to_debug: bool = False,
+                                    plot_save_dir: Optional[str] = None,
+                                    max_debug_plots: int = 10
+                                    ) -> pd.DataFrame:
         """Overwrite ONLY missing-modality entries with the reconstruction
         (data_funcs.py:310-364).  Vectorized: per-modality span-sum test
-        over all rows at once instead of the per-row loop."""
-        X = df[self.wanted_feats].to_numpy(dtype=float, copy=True)
+        over all rows at once instead of the per-row loop.
+
+        ``plot_to_debug`` reproduces the reference's built-in visual check
+        (data_funcs.py:339-355): an original/reconstructed/filled overlay
+        for each filled row, capped at ``max_debug_plots`` (the reference
+        quits after 10).  Pass ``plot_save_dir`` to write PNGs instead of
+        showing windows (the headless-server analog of plt.show())."""
+        X_orig = df[self.wanted_feats].to_numpy(dtype=float, copy=True)
+        X = X_orig.copy()
         any_filled = np.zeros(len(df), dtype=bool)
         for i in range(self.num_modalities):
             s, e = self.modality_table.span(i)
@@ -250,6 +262,22 @@ class DataLoader:
             any_filled |= missing_rows
         df = df.copy()
         df[self.wanted_feats] = X
+        if plot_to_debug:
+            from multimodalautoencoder_tpu.utils import plotting
+            if plot_save_dir is not None:
+                os.makedirs(plot_save_dir, exist_ok=True)
+            for n_shown, ridx in enumerate(np.flatnonzero(any_filled)):
+                if n_shown >= max_debug_plots:
+                    if verbose:
+                        print(f"Okay you've looked at {n_shown} plots, "
+                              "quitting now")
+                    break
+                save_path = (None if plot_save_dir is None else
+                             os.path.join(plot_save_dir,
+                                          f"filled_row_{ridx}.png"))
+                plotting.plot_filled_row(X_orig[ridx], Xbar[ridx], X[ridx],
+                                         show=plot_save_dir is None,
+                                         save_path=save_path)
         if verbose:
             n = int(any_filled.sum())
             print(f"Filled {n} rows with reconstruction "

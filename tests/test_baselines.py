@@ -107,6 +107,34 @@ def test_nn_sweep(sup_loader, tmp_path):
     assert df["val_acc"].max() > 0.6
 
 
+def test_nn_sweep_midtrain_checkpoints(sup_loader, tmp_path):
+    """checkpoint_every_nth saves mid-fit npz snapshots with curves —
+    the reference NN's saver.save-at-record-cadence
+    (comparison_algorithms/neural_net.py:224-244)."""
+    import os
+
+    from multimodalautoencoder_tpu.models import neural_net as nn
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    sweep = neural_net.NNSweep(
+        sup_loader, layer_sizes=[[16]], dropout_probs=[1.0],
+        weight_penalties=[0.0], learning_rates=[1e-3], batch_sizes=[32],
+        num_steps=120, results_path=str(tmp_path),
+        wanted_label="happy_label", num_cross_folds=2, verbose=False,
+        record_every_nth=30, checkpoint_every_nth=60,
+        checkpoint_dir=ckpt_dir)
+    sweep.sweep_all_parameters()
+    # 2 folds x 2 checkpoints per 120-step fit (at steps 60 and 120)
+    ckpts = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".npz"))
+    assert len(ckpts) == 4
+    # checkpoints round-trip and carry the accuracy curves so far
+    params, cfg, curves = nn.load_model(os.path.join(ckpt_dir, ckpts[0]))
+    assert cfg.layer_sizes == (16,)
+    assert "train_acc" in curves and "val_acc" in curves
+    assert len(curves["val_acc"]) >= 2      # 60 steps / rec 30
+    assert sweep.curves is not None and len(sweep.curves["val_acc"]) == 4
+
+
 def test_nn_model_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -177,6 +177,27 @@ def test_missing_modality_detection_and_fill(csv_path):
         np.testing.assert_allclose(now, orig)
 
 
+def test_fill_back_debug_plots(csv_path, tmp_path):
+    """plot_to_debug writes one overlay PNG per filled row, capped at
+    max_debug_plots (data_funcs.py:339-355's built-in visual check)."""
+    dl = DataLoader(csv_path, supervised=False, suppress_output=True,
+                    normalize_and_fill=True, fill_gaps_with=-1.0)
+    df = dl.df.copy()
+    feats = dl.wanted_feats
+    s, e = dl.modality_table.span(0)
+    cols = [df.columns.get_loc(f) for f in feats[s:e]]
+    for r in range(4):           # 4 rows with a missing modality
+        df.iloc[r, cols] = -1.0
+    Xbar = np.full((len(df), dl.num_feats), 0.5)
+    plot_dir = str(tmp_path / "plots")
+    dl.fill_df_with_reconstruction(df, Xbar, plot_to_debug=True,
+                                   plot_save_dir=plot_dir,
+                                   max_debug_plots=3)
+    import os
+    pngs = [f for f in os.listdir(plot_dir) if f.endswith(".png")]
+    assert len(pngs) == 3        # capped below the 4 filled rows
+
+
 def test_device_arrays(csv_path):
     dl = DataLoader(csv_path, supervised=True, suppress_output=True,
                     normalize_and_fill=True, fill_gaps_with=-1.0)

@@ -139,3 +139,28 @@ def test_streamed_kernel_training_reduces_loss(variational):
     l0, l4 = np.asarray(l0), np.asarray(l4)
     assert np.isfinite(l4).all()
     assert (l4 < l0).all()
+
+
+@requires_tpu
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_parity_band_on_hardware(backend):
+    """Both backends must land the reference-recipe parity observables
+    (noisy-val loss, per-modality masked RMSE) inside the SAME stored
+    band (tests/fixtures/parity_band.json) on real hardware — the
+    cross-backend distributional-parity guarantee (PARITY.md).  The CPU
+    suite covers XLA only; the Pallas kernel's PRNG paths are a hardware
+    property."""
+    import json
+
+    from multimodalautoencoder_tpu.utils import parity
+
+    band_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures",
+        "parity_band.json")
+    with open(band_path) as f:
+        band = json.load(f)
+    obs = parity.reference_recipe_observables(
+        backend=backend, seeds=(0, 1, 2),
+        num_steps=band["recipe"]["num_steps"])
+    problems = parity.check_band(obs, band)
+    assert not problems, "\n".join(problems)
