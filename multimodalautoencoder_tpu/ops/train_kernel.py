@@ -770,3 +770,728 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
 
     losses = jax.vmap(per_config)(params, hyper.act_id, eval_keys)
     return params, losses
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 classification kernel (the two-phase sweep's second 15k steps,
+# autoencoder_classification_wrapper.py:195-227 / multimodal_autoencoder.py
+# :606-647).  Same design as the phase-1 kernel: one grid cell trains one
+# (config, fold) instance end-to-end with encoder + classification-head
+# parameters and Adam moments resident in VMEM.  The decoder does not
+# participate (the classification loss has no decode path, and zero-grad
+# Adam is a no-op), so its weights never enter the kernel.
+#
+# Forward/backward (classification_total_loss, models/mmae.py:317-353):
+#   z1 = xn W1 + b1; a1 = act_enc(z1) [dropout]
+#   mu = a1 W2 + b2;  [VAE: lv = a1 Wv + bv; e = mu + eps*exp(lv)]
+#   h = e; for j < n_cls: zc_j = h Cj + cbj;
+#          act_cls+dropout on all but the last layer (fixed gate;
+#          faithful_classify_gate configs fall back to XLA)
+#   sigmoid-CE: L = mean(BCE(logits, y)) -> g = (sig - y)/(B*L_real)
+#   softmax:    L = -mean(logp[y])       -> g = (softmax - onehot)/B
+#   + wpen * l2(Cj) on classification WEIGHTS only (:346-349).
+# Labels ride the last Lp lanes of the same row panels as the features,
+# so each sampled row costs one DMA.
+# ---------------------------------------------------------------------------
+
+
+def _cls_dims(cfg: MMAEConfig):
+    """Padded layer widths of the classification head:
+    [H2p, c1p, ..., Lp]."""
+    dims = [_pad_to(cfg.embedding_size, LANE)]
+    dims += [_pad_to(c, LANE) for c in cfg.classification_layer_sizes]
+    dims.append(_pad_to(cfg.num_labels, LANE))
+    return dims
+
+
+def cls_vmem_bytes(cfg: MMAEConfig, cls_tcfg: TrainConfig,
+                   stream_big: bool = False) -> int:
+    """Estimated peak VMEM per phase-2 grid cell."""
+    F = _pad_to(cfg.num_feats, LANE)
+    H1 = _pad_to(cfg.layer_sizes[0], LANE)
+    H2 = _pad_to(cfg.layer_sizes[1], LANE)
+    dims = _cls_dims(cfg)
+    Lp = dims[-1]
+    w_elems = F * H1 + H1 * H2 + (H1 * H2 if cfg.variational else 0)
+    w_elems += sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    b_elems = SUB * (H1 + H2 + (H2 if cfg.variational else 0)
+                     + sum(dims[1:]))
+    param_bytes = 4 * (w_elems + b_elems)
+    state_mult = 1 if cls_tcfg.optimizer_state_dtype == "bfloat16" else 2
+    m_elems = w_elems + b_elems
+    if stream_big:
+        m_elems -= F * H1
+    moment_bytes = 2 * m_elems * 2 * state_mult
+    chunk_bytes = 4 * F * CH * 2 * state_mult if stream_big else 0
+    Bp = _pad_to(cls_tcfg.batch_size, SUB)
+    staging = 4 * Bp * SUB * (F + Lp)
+    transient = 4 * max(H1 * H2, 0 if stream_big else F * H1,
+                        max(dims[i] * dims[i + 1]
+                            for i in range(len(dims) - 1)))
+    acts = 4 * Bp * (3 * F + 4 * H1 + 3 * H2 + 3 * sum(dims) + 2 * Lp)
+    return (param_bytes + moment_bytes + chunk_bytes + staging
+            + transient + acts)
+
+
+def needs_cls_streaming(cfg: MMAEConfig, cls_tcfg: TrainConfig) -> bool:
+    return (cls_vmem_bytes(cfg, cls_tcfg, stream_big=False) > VMEM_BUDGET
+            and cls_vmem_bytes(cfg, cls_tcfg,
+                               stream_big=True) <= VMEM_BUDGET)
+
+
+def _phase1_cfg(cfg: MMAEConfig) -> MMAEConfig:
+    """The phase-1 view of a two-phase config: no classification head."""
+    return cfg.replace(classification_layer_sizes=None).validate()
+
+
+def supported_two_phase(cfg: MMAEConfig, tcfg: TrainConfig,
+                        cls_tcfg: TrainConfig, spec) -> bool:
+    """Is this two-phase configuration in the kernel family (both
+    phases)?  Out-of-family shapes fall back to the XLA grid trainer."""
+    cfg = cfg.validate()
+    if cfg.classification_layer_sizes is None:
+        return False
+    return (supported(_phase1_cfg(cfg), tcfg, spec)
+            and len(cfg.classification_layer_sizes) <= 2
+            and cfg.classification_loss in ("sigmoid_cross_entropy",
+                                            "softmax")
+            and cfg.num_labels <= LANE
+            and cls_tcfg.optimizer == "adam"
+            and not cls_tcfg.clip_gradients
+            and (cls_vmem_bytes(cfg, cls_tcfg) <= VMEM_BUDGET
+                 or needs_cls_streaming(cfg, cls_tcfg)))
+
+
+def _cls_gates(cfg: MMAEConfig) -> tuple:
+    """Static per-head-layer activation/dropout gates, matching
+    models/mmae.classify: the faithful mode reproduces the reference's
+    len(decode_weights) gate bug (multimodal_autoencoder.py:533), the
+    fixed mode gates on 'not the last head layer'."""
+    n_cls = len(_cls_dims(cfg)) - 1
+    limit = (len(cfg.layer_sizes) - 1 if cfg.faithful_classify_gate
+             else n_cls - 1)
+    return tuple(j < limit for j in range(n_cls))
+
+
+def _cls_train_kernel(
+        # scalar prefetch
+        seed_ref, fold_ref, n_ref, keep_ref, wpen_ref, eact_ref, cact_ref,
+        # tensor inputs
+        traincat_ref,             # (K, maxNp, Fp+Lp)  ANY/HBM
+        mask_table_ref,           # (Tp, Fp)           VMEM
+        cum_ref,                  # (1, Tp)            VMEM
+        featmask_ref,             # (1, Fp)            VMEM
+        labelmask_ref,            # (1, Lp)            VMEM
+        w1_in, b1_in, w2_in, b2_in, wv_in, bv_in,
+        c1_in, cb1_in, c2_in, cb2_in, c3_in, cb3_in,
+        # outputs + streamed W1 moment buffers
+        w1o, b1o, w2o, b2o, wvo, bvo,
+        c1o, cb1o, c2o, cb2o, c3o, cb3o, m1h, v1h,
+        # scratch
+        xbuf, sems, psem,
+        w1s, b1s, w2s, b2s, wvs, bvs,
+        c1s, cb1s, c2s, cb2s, c3s, cb3s,
+        m1, v1, mb1, vb1, m2, v2, mb2, vb2, mwv, vwv, mbv, vbv,
+        mc1, vc1, mcb1, vcb1, mc2, vc2, mcb2, vcb2, mc3, vc3, mcb3, vcb3,
+        mchunk, vchunk,
+        *, steps: int, batch: int, n_cls: int, gates: tuple,
+        variational: bool, softmax: bool, stream_big: bool, elem_p: float,
+        mask_value: float, lr_const: float, num_labels: int,
+        b1_const: float = 0.9, b2_const: float = 0.999, eps: float = 1e-8,
+        dr_seed_salt: int = 0x2C15):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
+
+    fold = fold_ref[i]
+    n_valid = n_ref[i]
+    keep = keep_ref[i]
+    wpen = wpen_ref[i]
+    enc_act = eact_ref[i]
+    cls_act = cact_ref[i]
+
+    Bp = xbuf.shape[0]
+    FpL = xbuf.shape[2]
+    Fp = featmask_ref.shape[1]
+    Lp = labelmask_ref.shape[1]
+
+    ins = (w1_in, b1_in, w2_in, b2_in, wv_in, bv_in,
+           c1_in, cb1_in, c2_in, cb2_in, c3_in, cb3_in)
+    scr = (w1s, b1s, w2s, b2s, wvs, bvs,
+           c1s, cb1s, c2s, cb2s, c3s, cb3s)
+    outs = (w1o, b1o, w2o, b2o, wvo, bvo,
+            c1o, cb1o, c2o, cb2o, c3o, cb3o)
+    moms = ((m1, v1), (mb1, vb1), (m2, v2), (mb2, vb2),
+            (mwv, vwv), (mbv, vbv), (mc1, vc1), (mcb1, vcb1),
+            (mc2, vc2), (mcb2, vcb2), (mc3, vc3), (mcb3, vcb3))
+
+    for src_ref, dst in zip(ins, scr):
+        cp = pltpu.make_async_copy(src_ref.at[i], dst, psem)
+        cp.start()
+        cp.wait()
+    for m, v in moms:
+        m[...] = jnp.zeros(m.shape, m.dtype)
+        v[...] = jnp.zeros(v.shape, v.dtype)
+    if stream_big:
+        mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
+        rows = w1s.shape[0]
+        for hbuf in (m1h, v1h):
+            for c in range(hbuf.shape[2] // CH):
+                cp = pltpu.make_async_copy(
+                    mchunk.at[0, pl.ds(0, rows), :],
+                    hbuf.at[i, :, pl.ds(c * CH, CH)], psem)
+                cp.start()
+                cp.wait()
+
+    featmask = featmask_ref[0, :]                       # (Fp,)
+    labelmask = labelmask_ref[0, :]                     # (Lp,)
+    row_mask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) < batch,
+        1.0, 0.0)
+
+    def bias_grad_fn(g, shape):
+        return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
+
+    def adam(k, g, bc1, bc2):
+        m_ref, v_ref = moms[k]
+        m = b1_const * m_ref[...].astype(jnp.float32) + (1 - b1_const) * g
+        v = b2_const * v_ref[...].astype(jnp.float32) \
+            + (1 - b2_const) * jnp.square(g)
+        m_ref[...] = m.astype(m_ref.dtype)
+        v_ref[...] = v.astype(v_ref.dtype)
+        scr[k][...] = scr[k][...] - lr_const * (m / bc1) / (
+            jnp.sqrt(v / bc2) + eps)
+
+    def step_fn(step, _):
+        # ---- sample a supervised batch: features AND labels ride the
+        # same aligned 8-row panels --------------------------------------
+        rbits = pltpu.bitcast(pltpu.prng_random_bits((Bp, 1)), jnp.int32)
+        rpos = jax.lax.shift_right_logical(rbits, 1)
+        ridx = (rpos[:, 0] % n_valid)
+        panel = (ridx // SUB) * SUB
+        sub = ridx - panel
+        for j in range(Bp):
+            pltpu.make_async_copy(
+                traincat_ref.at[fold,
+                                pl.ds(pl.multiple_of(panel[j], SUB), SUB),
+                                :],
+                xbuf.at[j], sems.at[j]).start()
+        for j in range(Bp):
+            pltpu.make_async_copy(
+                traincat_ref.at[fold,
+                                pl.ds(pl.multiple_of(panel[j], SUB), SUB),
+                                :],
+                xbuf.at[j], sems.at[j]).wait()
+        sel = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (Bp, SUB), 1)
+            == sub[:, None], 1.0, 0.0)
+        full = jnp.sum(xbuf[...] * sel[:, :, None], axis=1)  # (Bp, FpL)
+        x = full[:, :Fp] * featmask[None, :]
+        y = full[:, Fp:] * labelmask[None, :]                # (Bp, Lp)
+
+        # ---- corruption (same machinery as phase 1, :619-647 corrupts
+        # supervised batches with the same noise) -------------------------
+        u_elem = _uniform((Bp, Fp))
+        elem_mask = jnp.where(u_elem < elem_p, 1.0, 0.0)
+        u_type = _uniform((Bp, 1))
+        cum = cum_ref[0, :]
+        below = jnp.where(u_type < cum[None, :],
+                          jnp.int32(1), jnp.int32(0))
+        t_idx = (cum.shape[0] - jnp.sum(below, axis=1, keepdims=True))
+        cols = jax.lax.broadcasted_iota(jnp.int32,
+                                        (Bp, cum.shape[0]), 1)
+        onehot = jnp.where(cols == t_idx, 1.0, 0.0)
+        mod_mask = jnp.dot(onehot, mask_table_ref[...],
+                           preferred_element_type=jnp.float32)
+        xn = jnp.where(elem_mask > 0, 0.0, x)
+        xn = jnp.where(mod_mask > 0, mask_value * featmask[None, :], xn)
+
+        # ---- encoder forward --------------------------------------------
+        w1 = w1s[...]
+        w2 = w2s[...]
+        z1 = jnp.dot(xn, w1, preferred_element_type=jnp.float32) \
+            + b1s[0:1, :]
+        a1 = _act(z1, enc_act)
+        d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
+        a1d = a1 * d1
+        mu = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
+            + b2s[0:1, :]
+        if variational:
+            lv = jnp.dot(a1d, wvs[...],
+                         preferred_element_type=jnp.float32) \
+                + bvs[0:1, :]
+            eps_n = _normal(mu.shape)
+            sigma = jnp.exp(lv)
+            emb = mu + eps_n * sigma
+        else:
+            emb = mu
+
+        # ---- classification head forward: act+dropout on all but the
+        # last layer (models/mmae.py:246-254, fixed gate) ------------------
+        cws = (c1s, c2s, c3s)
+        cbs = (cb1s, cb2s, cb3s)
+        h = emb
+        hs, zcs, ds = [], [], {}
+        for j in range(n_cls):
+            hs.append(h)
+            zc = jnp.dot(h, cws[j][...],
+                         preferred_element_type=jnp.float32) \
+                + cbs[j][0:1, :]
+            zcs.append(zc)
+            if gates[j]:
+                ac = _act(zc, cls_act)
+                dj = jnp.where(_uniform(zc.shape) < keep,
+                               1.0 / keep, 0.0)
+                ds[j] = dj
+                h = ac * dj
+            else:
+                h = zc
+        logits = h                                            # (Bp, Lp)
+
+        # ---- loss gradient ----------------------------------------------
+        if softmax:
+            zm = jnp.where(labelmask[None, :] > 0, logits, -1e30)
+            mx = jnp.max(zm, axis=1, keepdims=True)
+            e = jnp.exp(zm - mx) * labelmask[None, :]
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            g = (p - y) * row_mask / float(batch)
+        else:
+            sig = 1.0 / (1.0 + jnp.exp(-logits))
+            g = ((sig - y) * labelmask[None, :] * row_mask
+                 / float(batch * num_labels))
+
+        cf = (step + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
+        bc2 = 1.0 - jnp.exp(cf * float(np.log(b2_const)))
+
+        # ---- backward through the head (L2 on cls weights only,
+        # models/mmae.py:346-349).  g tracks the grad wrt each layer's
+        # OUTPUT; a gated layer (act+dropout, possibly including the last
+        # one in faithful mode) first chains through its gate. -------------
+        for j in range(n_cls - 1, -1, -1):
+            if gates[j]:
+                g = g * ds[j] * _act_grad(zcs[j], cls_act)
+            cw_j = cws[j][...]          # read BEFORE adam mutates scr
+            gw = jnp.dot(hs[j].T, g,
+                         preferred_element_type=jnp.float32) \
+                + wpen * cw_j
+            adam(6 + 2 * j, gw, bc1, bc2)
+            adam(7 + 2 * j, bias_grad_fn(g, cbs[j].shape), bc1, bc2)
+            g = jnp.dot(g, cw_j.T, preferred_element_type=jnp.float32)
+        g_emb = g
+
+        # ---- backward through the encoder (no L2: phase 2 regularizes
+        # only the head) ----------------------------------------------------
+        if variational:
+            gmu = g_emb
+            glv = g_emb * eps_n * sigma
+            g_a1d = jnp.dot(gmu, w2.T,
+                            preferred_element_type=jnp.float32) \
+                + jnp.dot(glv, wvs[...].T,
+                          preferred_element_type=jnp.float32)
+        else:
+            gmu = g_emb
+            glv = None
+            g_a1d = jnp.dot(gmu, w2.T,
+                            preferred_element_type=jnp.float32)
+        g1 = g_a1d * d1 * _act_grad(z1, enc_act)
+
+        def adam_streamed_w1():
+            # chunked Adam for W1, two-slot pipeline (same scheme as the
+            # phase-1 kernel's adam_streamed; W1 carries no L2 here)
+            rows = w1s.shape[0]
+            nch = w1s.shape[1] // CH
+
+            def in_copies(c, s):
+                return (pltpu.make_async_copy(
+                            m1h.at[i, :, pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rows), :],
+                            sems.at[2 * s]),
+                        pltpu.make_async_copy(
+                            v1h.at[i, :, pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rows), :],
+                            sems.at[2 * s + 1]))
+
+            def out_copies(c, s):
+                return (pltpu.make_async_copy(
+                            mchunk.at[s, pl.ds(0, rows), :],
+                            m1h.at[i, :, pl.ds(c * CH, CH)],
+                            sems.at[2 * s]),
+                        pltpu.make_async_copy(
+                            vchunk.at[s, pl.ds(0, rows), :],
+                            v1h.at[i, :, pl.ds(c * CH, CH)],
+                            sems.at[2 * s + 1]))
+
+            for cp in in_copies(0, 0):
+                cp.start()
+            for c in range(nch):
+                s = c % 2
+                if c + 1 < nch:
+                    if c >= 1:
+                        for cp in out_copies(c - 1, 1 - s):
+                            cp.wait()
+                    for cp in in_copies(c + 1, 1 - s):
+                        cp.start()
+                gch = jnp.dot(xn.T, g1[:, c * CH:(c + 1) * CH],
+                              preferred_element_type=jnp.float32)
+                for cp in in_copies(c, s):
+                    cp.wait()
+                m = (b1_const * mchunk[s, pl.ds(0, rows), :].astype(
+                        jnp.float32) + (1 - b1_const) * gch)
+                v = (b2_const * vchunk[s, pl.ds(0, rows), :].astype(
+                        jnp.float32) + (1 - b2_const) * jnp.square(gch))
+                mchunk[s, pl.ds(0, rows), :] = m.astype(mchunk.dtype)
+                vchunk[s, pl.ds(0, rows), :] = v.astype(vchunk.dtype)
+                w1s[:, c * CH:(c + 1) * CH] = (
+                    w1s[:, c * CH:(c + 1) * CH]
+                    - lr_const * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+                for cp in out_copies(c, s):
+                    cp.start()
+            for c in (nch - 2, nch - 1):
+                if c >= 0:
+                    for cp in out_copies(c, c % 2):
+                        cp.wait()
+
+        if stream_big:
+            adam_streamed_w1()
+        else:
+            adam(0, jnp.dot(xn.T, g1,
+                            preferred_element_type=jnp.float32),
+                 bc1, bc2)
+        adam(1, bias_grad_fn(g1, b1s.shape), bc1, bc2)
+        adam(2, jnp.dot(a1d.T, gmu,
+                        preferred_element_type=jnp.float32), bc1, bc2)
+        adam(3, bias_grad_fn(gmu, b2s.shape), bc1, bc2)
+        if variational:
+            adam(4, jnp.dot(a1d.T, glv,
+                            preferred_element_type=jnp.float32), bc1, bc2)
+            adam(5, bias_grad_fn(glv, bvs.shape), bc1, bc2)
+        return 0
+
+    jax.lax.fori_loop(0, steps, step_fn, 0)
+
+    for dst_ref, src in zip(outs, scr):
+        cp = pltpu.make_async_copy(src, dst_ref.at[i], psem)
+        cp.start()
+        cp.wait()
+
+
+def train_two_phase_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig,
+                           cls_tcfg: TrainConfig, spec, hyper, chyper,
+                           unsup_folded, sup_folded,
+                           num_steps: Optional[int] = None,
+                           cls_num_steps: Optional[int] = None,
+                           interpret: Optional[bool] = None,
+                           force_stream: bool = False,
+                           adam_eps: float = 1e-8):
+    """Both phases of the classification sweep with the VMEM-resident
+    kernels: phase-1 denoising pretrain, then phase-2 classification
+    training of encoder + head.
+
+    Same contract as running ``grid_trainer.train_grid`` followed by
+    ``train_classification_grid``: returns ``(params, losses, preds)``
+    with (C, K) leading axes — phase-1 noisy-val losses and phase-2 val
+    predictions (computed by the identical XLA evaluator, so objective
+    and prediction semantics match the XLA backend exactly).
+    """
+    statics = two_phase_statics(cfg, tcfg, cls_tcfg, spec, num_steps,
+                                cls_num_steps, interpret, force_stream,
+                                adam_eps)
+    fn = _cached_two_phase(*statics)
+    return fn(rng, spec, hyper, chyper, unsup_folded, sup_folded)
+
+
+def two_phase_statics(cfg: MMAEConfig, tcfg: TrainConfig,
+                      cls_tcfg: TrainConfig, spec,
+                      num_steps: Optional[int] = None,
+                      cls_num_steps: Optional[int] = None,
+                      interpret: Optional[bool] = None,
+                      force_stream: bool = False,
+                      adam_eps: float = 1e-8):
+    """Hashable static key for the two-phase pipeline (compile-cache key
+    for shard_map wrappers, like :func:`pipeline_statics`)."""
+    cfg = cfg.validate()
+    if not supported_two_phase(cfg, tcfg, cls_tcfg, spec):
+        raise ValueError("configuration outside the two-phase kernel "
+                         "family; use the XLA grid trainer")
+    num_steps = tcfg.num_steps if num_steps is None else num_steps
+    cls_num_steps = (cls_tcfg.num_steps if cls_num_steps is None
+                     else cls_num_steps)
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    k_draws = spec.num_element_drops
+    elem_p = (float(1.0 - (1.0 - 1.0 / cfg.num_feats) ** k_draws)
+              if k_draws else 0.0)
+    return (cfg, tcfg, cls_tcfg, int(num_steps), int(cls_num_steps),
+            bool(interpret), elem_p, bool(force_stream), float(adam_eps))
+
+
+def two_phase_from_statics(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
+                           interpret, elem_p, force_stream=False,
+                           adam_eps=1e-8):
+    """The raw (rng, spec, hyper, chyper, unsup, sup) -> (params, losses,
+    preds) pipeline with statics baked in and NO jit — for shard_map."""
+    return functools.partial(
+        _two_phase_pipeline, cfg=cfg, tcfg=tcfg, cls_tcfg=cls_tcfg,
+        num_steps=num_steps, cls_num_steps=cls_num_steps,
+        interpret=interpret, elem_p=elem_p, force_stream=force_stream,
+        adam_eps=adam_eps)
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_two_phase(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
+                      interpret, elem_p, force_stream=False,
+                      adam_eps=1e-8):
+    return jax.jit(functools.partial(
+        _two_phase_pipeline, cfg=cfg, tcfg=tcfg, cls_tcfg=cls_tcfg,
+        num_steps=num_steps, cls_num_steps=cls_num_steps,
+        interpret=interpret, elem_p=elem_p, force_stream=force_stream,
+        adam_eps=adam_eps))
+
+
+def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
+                        sup_folded, *, cfg, tcfg, cls_tcfg, num_steps,
+                        cls_num_steps, interpret, elem_p,
+                        force_stream=False, adam_eps=1e-8):
+    from multimodalautoencoder_tpu.models import losses as losses_lib
+    from multimodalautoencoder_tpu.models import mmae
+
+    cfg1 = _phase1_cfg(cfg)
+    C = hyper.num_configs
+    K = unsup_folded.train_x.shape[0]
+    N = C * K
+    F = cfg.num_feats
+    H1, H2 = cfg.layer_sizes
+    Fp, H1p, H2p = (_pad_to(F, LANE), _pad_to(H1, LANE),
+                    _pad_to(H2, LANE))
+    dims = _cls_dims(cfg)
+    n_cls = len(dims) - 1
+    Lp = dims[-1]
+    L = cfg.num_labels
+    B = cls_tcfg.batch_size
+    Bp = _pad_to(B, SUB)
+    softmax = cfg.classification_loss == "softmax"
+    stream_big = (cls_vmem_bytes(cfg, cls_tcfg) > VMEM_BUDGET
+                  or force_stream)
+    state_dt = (jnp.bfloat16
+                if cls_tcfg.optimizer_state_dtype == "bfloat16"
+                else jnp.float32)
+
+    k_p1, k_cls_init, k_p2, k_eval = jax.random.split(rng, 4)
+
+    # ---- phase 1: the existing kernel pipeline (headless cfg) ----------
+    params1, losses = _pipeline(k_p1, spec, hyper, unsup_folded, cfg=cfg1,
+                                tcfg=tcfg, num_steps=num_steps,
+                                interpret=interpret, elem_p=elem_p)
+
+    # ---- fresh classification-head init (same initializer family as
+    # mmae.init; phase 2 re-initializes the head, set_classification_params
+    # -> rebuild_reinitialize, multimodal_autoencoder.py:898-930) ---------
+    inst_keys = jax.random.split(k_cls_init, N).reshape(C, K, 2)
+    cls0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys)
+
+    def pad_w(a, r, c):
+        flat = a.reshape(N, a.shape[2], a.shape[3])
+        return jnp.zeros((N, r, c), jnp.float32).at[
+            :, : a.shape[2], : a.shape[3]].set(flat)
+
+    def pad_b(a, c):
+        flat = a.reshape(N, 1, a.shape[2])
+        return jnp.zeros((N, SUB, c), jnp.float32).at[
+            :, :, : a.shape[2]].set(jnp.broadcast_to(
+                flat, (N, SUB, a.shape[2])))
+
+    w1 = pad_w(params1.enc_w[0], Fp, H1p)
+    w2 = pad_w(params1.enc_w[1], H1p, H2p)
+    b1 = pad_b(params1.enc_b[0], H1p)
+    b2 = pad_b(params1.enc_b[1], H2p)
+    if cfg.variational:
+        wv = pad_w(params1.var_w, H1p, H2p)
+        bv = pad_b(params1.var_b, H2p)
+        wv_rc = (H1p, H2p)
+    else:
+        wv = jnp.zeros((N, SUB, LANE), jnp.float32)
+        bv = jnp.zeros((N, SUB, LANE), jnp.float32)
+        wv_rc = (SUB, LANE)
+
+    cls_ws, cls_bs, cls_rc = [], [], []
+    for j in range(3):
+        if j < n_cls:
+            cls_ws.append(pad_w(cls0.cls_w[j], dims[j], dims[j + 1]))
+            cls_bs.append(pad_b(cls0.cls_b[j], dims[j + 1]))
+            cls_rc.append((dims[j], dims[j + 1]))
+        else:
+            cls_ws.append(jnp.zeros((N, SUB, LANE), jnp.float32))
+            cls_bs.append(jnp.zeros((N, SUB, LANE), jnp.float32))
+            cls_rc.append((SUB, LANE))
+
+    # ---- corruption tables (identical to phase 1) -----------------------
+    if spec.intelligent:
+        type_masks = spec.type_masks.astype(jnp.float32)
+        probs = jnp.exp(spec.type_log_probs)
+    elif spec.num_modalities_to_drop == 1:
+        mm = spec.modality_masks.astype(jnp.float32)
+        type_masks = mm
+        probs = jnp.full((mm.shape[0],), 1.0 / mm.shape[0])
+    else:
+        type_masks = jnp.zeros((1, F), jnp.float32)
+        probs = jnp.ones((1,))
+    T = type_masks.shape[0]
+    Tp = _pad_to(T, LANE)
+    table = jnp.zeros((Tp, Fp), jnp.float32).at[:T, :F].set(type_masks)
+    cum = jnp.full((1, Tp), 2.0, jnp.float32).at[0, :T].set(
+        jnp.cumsum(probs / jnp.sum(probs)))
+    featmask = jnp.zeros((1, Fp), jnp.float32).at[0, :F].set(1.0)
+    labelmask = jnp.zeros((1, Lp), jnp.float32).at[0, :L].set(1.0)
+
+    # ---- supervised fold data: labels ride the last Lp lanes -----------
+    y = sup_folded.train_y
+    if y is None:
+        raise ValueError("two-phase training needs supervised folds")
+    if y.ndim == 2:                       # single-label ints -> one-hot
+        yh = jax.nn.one_hot(y.astype(jnp.int32), L, dtype=jnp.float32)
+    else:
+        yh = y.astype(jnp.float32)
+    maxNp = _pad_to(sup_folded.train_x.shape[1], SUB)
+    traincat = jnp.zeros((K, maxNp, Fp + Lp), jnp.float32)
+    traincat = traincat.at[:, : sup_folded.train_x.shape[1], :F].set(
+        sup_folded.train_x)
+    traincat = traincat.at[:, : yh.shape[1], Fp:Fp + L].set(yh)
+
+    inst2 = jax.random.split(k_p2, N)
+    seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1)
+                     )(inst2).astype(jnp.int32)
+    fold_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), C)
+    n_valid = jnp.tile(sup_folded.train_n, C)
+    keep = jnp.repeat(chyper.keep_prob, K)
+    wpen = jnp.repeat(chyper.weight_penalty, K)
+    eact = jnp.repeat(hyper.act_id, K)
+    cact = jnp.repeat(chyper.cls_act_id, K)
+
+    kernel = functools.partial(
+        _cls_train_kernel, steps=cls_num_steps, batch=B, n_cls=n_cls,
+        gates=_cls_gates(cfg), variational=bool(cfg.variational),
+        softmax=softmax, stream_big=stream_big, elem_p=elem_p,
+        mask_value=float(cfg.mask_with),
+        lr_const=float(cls_tcfg.learning_rate), num_labels=L,
+        eps=adam_eps)
+
+    def anyspec():
+        return pl.BlockSpec(memory_space=pl.ANY)
+
+    def moment_pair(r, c):
+        return [pltpu.VMEM((r, c), state_dt),
+                pltpu.VMEM((r, c), state_dt)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(N,),
+        in_specs=[
+            anyspec(),                                     # traincat
+            pl.BlockSpec((Tp, Fp), lambda i, *_: (0, 0)),  # mask table
+            pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
+            pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
+            pl.BlockSpec((1, Lp), lambda i, *_: (0, 0)),   # label mask
+        ] + [anyspec()] * 12,
+        out_specs=[anyspec()] * 14,
+        scratch_shapes=[
+            pltpu.VMEM((Bp, SUB, Fp + Lp), jnp.float32),   # panel staging
+            pltpu.SemaphoreType.DMA((Bp,)),
+            pltpu.SemaphoreType.DMA,
+            # parameter scratch
+            pltpu.VMEM((Fp, H1p), jnp.float32),
+            pltpu.VMEM((SUB, H1p), jnp.float32),
+            pltpu.VMEM((H1p, H2p), jnp.float32),
+            pltpu.VMEM((SUB, H2p), jnp.float32),
+            pltpu.VMEM(wv_rc, jnp.float32),
+            pltpu.VMEM((SUB, H2p) if cfg.variational else (SUB, LANE),
+                       jnp.float32),
+            pltpu.VMEM(cls_rc[0], jnp.float32),
+            pltpu.VMEM((SUB, cls_rc[0][1]), jnp.float32),
+            pltpu.VMEM(cls_rc[1], jnp.float32),
+            pltpu.VMEM((SUB, cls_rc[1][1]), jnp.float32),
+            pltpu.VMEM(cls_rc[2], jnp.float32),
+            pltpu.VMEM((SUB, cls_rc[2][1]), jnp.float32),
+            # Adam moments, kernel arg order
+        ] + moment_pair(*((SUB, LANE) if stream_big else (Fp, H1p)))
+          + moment_pair(SUB, H1p)
+          + moment_pair(H1p, H2p) + moment_pair(SUB, H2p)
+          + moment_pair(*wv_rc)
+          + moment_pair(SUB, H2p if cfg.variational else LANE)
+          + moment_pair(*cls_rc[0]) + moment_pair(SUB, cls_rc[0][1])
+          + moment_pair(*cls_rc[1]) + moment_pair(SUB, cls_rc[1][1])
+          + moment_pair(*cls_rc[2]) + moment_pair(SUB, cls_rc[2][1])
+          + [pltpu.VMEM((2, Fp, CH) if stream_big
+                        else (2, SUB, CH), state_dt),
+             pltpu.VMEM((2, Fp, CH) if stream_big
+                        else (2, SUB, CH), state_dt)],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                   for a in (w1, b1, w2, b2, wv, bv,
+                             cls_ws[0], cls_bs[0], cls_ws[1], cls_bs[1],
+                             cls_ws[2], cls_bs[2])]
+        + ([jax.ShapeDtypeStruct((N, Fp, H1p), state_dt)] * 2
+           if stream_big else
+           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 2),
+        interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
+                   if interpret else False),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seeds, fold_ids, n_valid, keep, wpen, eact, cact,
+      traincat, table, cum, featmask, labelmask,
+      w1, b1, w2, b2, wv, bv,
+      cls_ws[0], cls_bs[0], cls_ws[1], cls_bs[1], cls_ws[2], cls_bs[2])
+
+    (w1f, b1f, w2f, b2f, wvf, bvf,
+     c1f, cb1f, c2f, cb2f, c3f, cb3f) = out[:12]
+
+    def unW(a, r, c):
+        return a[:, :r, :c].reshape(C, K, r, c)
+
+    def unB(a, c):
+        return a[:, 0, :c].reshape(C, K, c)
+
+    cls_w_out, cls_b_out = [], []
+    for j, (wf, bf) in enumerate(((c1f, cb1f), (c2f, cb2f), (c3f, cb3f))):
+        if j < n_cls:
+            r = (cfg.embedding_size if j == 0
+                 else cfg.classification_layer_sizes[j - 1])
+            c = (cfg.num_labels if j == n_cls - 1
+                 else cfg.classification_layer_sizes[j])
+            cls_w_out.append(unW(wf, r, c))
+            cls_b_out.append(unB(bf, c))
+
+    params = mmae.MMAEParams(
+        enc_w=(unW(w1f, F, H1), unW(w2f, H1, H2)),
+        enc_b=(unB(b1f, H1), unB(b2f, H2)),
+        dec_w=params1.dec_w, dec_b=params1.dec_b,
+        var_w=(unW(wvf, H1, H2) if cfg.variational else None),
+        var_b=(unB(bvf, H2) if cfg.variational else None),
+        cls_w=tuple(cls_w_out), cls_b=tuple(cls_b_out))
+
+    # ---- predictions on the padded fold-val set: identical XLA evaluator
+    # as the XLA backend (grid_trainer._train_classification_instance) ----
+    def pred_one(p, enc_act, cls_act, vx, k):
+        k_eps, k_fwd = jax.random.split(k)
+        mu, log_var = mmae.encode(p, cfg, vx, rng=k_fwd, keep_prob=1.0,
+                                  train=False, act_id=enc_act)
+        embedding = mu
+        if cfg.variational:
+            e = jax.random.normal(k_eps, mu.shape, mu.dtype)
+            embedding = mu + e * jnp.exp(log_var)
+        logits = mmae.classify(p, cfg, embedding, rng=k_fwd, keep_prob=1.0,
+                               train=False, act_id=cls_act)
+        return losses_lib.classification_predictions(
+            cfg.classification_loss, logits)
+
+    eval_keys = jax.random.split(k_eval, N).reshape(C, K, 2)
+
+    def per_config(p_c, enc_act, cls_act, keys_c):
+        return jax.vmap(pred_one, in_axes=(0, None, None, 0, 0))(
+            p_c, enc_act, cls_act, sup_folded.val_x, keys_c)
+
+    preds = jax.vmap(per_config)(params, hyper.act_id, chyper.cls_act_id,
+                                 eval_keys)
+    return params, losses, preds

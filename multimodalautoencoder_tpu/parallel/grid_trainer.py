@@ -524,3 +524,92 @@ def embed_grid(params_stacked, cfg: MMAEConfig, hyper: HyperStack,
         return jax.vmap(lambda p: one(p, act_id))(p_c)
 
     return jax.vmap(per_config)(params_stacked, hyper.act_id)
+
+
+def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
+                            cfg: MMAEConfig, tcfg: TrainConfig,
+                            cls_tcfg: TrainConfig, spec: NoiseSpec,
+                            hyper: HyperStack,
+                            chyper: ClassifierHyperStack,
+                            unsup_folded: FoldedData,
+                            sup_folded: FoldedData,
+                            num_steps: Optional[int] = None,
+                            cls_num_steps: Optional[int] = None,
+                            backend: str = "auto"):
+    """Both phases of the classification sweep, config axis sharded over
+    the mesh.
+
+    ``backend``: 'xla' (phase-1 vmapped scan + phase-2 vmapped scan),
+    'pallas' (the VMEM-resident two-phase kernel pipeline,
+    ops/train_kernel.train_two_phase_pallas), or 'auto' — pallas on real
+    TPU when the config is in the two-phase kernel family, else XLA.
+    Returns ``(params, losses, preds)`` with (C, K) leading axes:
+    phase-1 noisy-val losses and phase-2 val predictions
+    (autoencoder_classification_wrapper.py:195-237).
+    """
+    C = hyper.num_configs
+    n_dev = mesh.shape[mesh_lib.CONFIG_AXIS]
+    padded = mesh_lib.pad_to_multiple(C, n_dev)
+    hyper = hyper.pad_to(padded)
+    chyper = chyper.pad_to(padded)
+
+    if backend == "auto":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = ("pallas" if on_tpu
+                   and train_kernel.supported_two_phase(cfg, tcfg,
+                                                        cls_tcfg, spec)
+                   else "xla")
+
+    if backend == "pallas":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        statics = train_kernel.two_phase_statics(cfg, tcfg, cls_tcfg,
+                                                 spec, num_steps,
+                                                 cls_num_steps)
+        if mesh.shape[mesh_lib.CONFIG_AXIS] > 1:
+            fn = _two_phase_sharded_jit(mesh, *statics)
+        else:
+            fn = train_kernel._cached_two_phase(*statics)
+        params, losses, preds = fn(rng, spec, hyper, chyper,
+                                   unsup_folded, sup_folded)
+    else:
+        hyper_p = mesh_lib.shard_leading_axis(hyper, mesh)
+        chyper_p = mesh_lib.shard_leading_axis(chyper, mesh)
+        unsup = jax.device_put(unsup_folded, mesh_lib.replicated(mesh))
+        sup = jax.device_put(sup_folded, mesh_lib.replicated(mesh))
+        k1, k2 = jax.random.split(rng)
+        params, losses = train_grid_jit(k1, cfg, tcfg, spec, hyper_p,
+                                        unsup, num_steps)
+        params, preds = train_classification_grid_jit(
+            k2, cfg, cls_tcfg, spec, params, hyper_p, chyper_p, sup,
+            cls_num_steps)
+    trim = lambda a: a[:C]
+    return (jax.tree_util.tree_map(trim, params), losses[:C], preds[:C])
+
+
+@functools.lru_cache(maxsize=64)
+def _two_phase_sharded_jit(mesh, cfg, tcfg, cls_tcfg, num_steps,
+                           cls_num_steps, interpret, elem_p, force_stream,
+                           adam_eps):
+    """Compile-cached shard_map of the two-phase kernel pipeline over the
+    mesh's config axis — same scheme as :func:`_pallas_sharded_jit`."""
+    from multimodalautoencoder_tpu.ops import train_kernel
+
+    fn = train_kernel.two_phase_from_statics(cfg, tcfg, cls_tcfg,
+                                             num_steps, cls_num_steps,
+                                             interpret, elem_p,
+                                             force_stream, adam_eps)
+
+    def local(rng, spec, hyper, chyper, unsup, sup):
+        rng = jax.random.fold_in(
+            rng, jax.lax.axis_index(mesh_lib.CONFIG_AXIS))
+        return fn(rng, spec, hyper, chyper, unsup, sup)
+
+    sm = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(mesh_lib.CONFIG_AXIS),
+                                 P(mesh_lib.CONFIG_AXIS), P(), P()),
+                       out_specs=(P(mesh_lib.CONFIG_AXIS),
+                                  P(mesh_lib.CONFIG_AXIS),
+                                  P(mesh_lib.CONFIG_AXIS)),
+                       check_vma=False)
+    return jax.jit(sm)

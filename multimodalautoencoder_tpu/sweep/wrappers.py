@@ -489,10 +489,15 @@ class MMAEClassificationSweep:
                  optimize_for: str = "val_acc", min_or_max: str = "max",
                  check_noisy_data: bool = True, mesh=None,
                  save_results_every_nth: int = 1, seed: int = 0,
-                 verbose: bool = True):
+                 verbose: bool = True, backend: str = "auto"):
+        """``backend``: 'auto' trains both phases with the VMEM-resident
+        Pallas kernel pipeline where the shape family allows
+        (ops/train_kernel.supported_two_phase), the XLA grid trainer
+        otherwise; 'xla' / 'pallas' force."""
         from multimodalautoencoder_tpu.utils.cache import \
             enable_persistent_cache
         enable_persistent_cache()
+        self.backend = backend
         self.data_loader = data_loader
         self.cls_loader = classification_data_loader
         self.num_cross_folds = num_cross_folds
@@ -662,23 +667,11 @@ class MMAEClassificationSweep:
             chyper = gt.ClassifierHyperStack.from_settings(bucket, cfg)
 
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
-            k1, k2 = jax.random.split(rng)
             C = len(bucket)
-            n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
-            padded = mesh_lib.pad_to_multiple(C, n_dev)
-            hyper_p = mesh_lib.shard_leading_axis(hyper.pad_to(padded),
-                                                  self.mesh)
-            chyper_p = mesh_lib.shard_leading_axis(chyper.pad_to(padded),
-                                                   self.mesh)
-            unsup = jax.device_put(self.unsup_folded,
-                                   mesh_lib.replicated(self.mesh))
-            sup = jax.device_put(self.sup_folded,
-                                 mesh_lib.replicated(self.mesh))
-            params, losses = gt.train_grid_jit(
-                k1, cfg, self.tcfg, self.spec, hyper_p, unsup)
-            params, preds = gt.train_classification_grid_jit(
-                k2, cfg, self.cls_tcfg, self.spec, params, hyper_p,
-                chyper_p, sup)
+            params, losses, preds = gt.train_two_phase_sharded(
+                self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
+                hyper, chyper, self.unsup_folded, self.sup_folded,
+                backend=self.backend)
             losses = np.asarray(losses)[:C]
             preds = np.asarray(preds)[:C]
 

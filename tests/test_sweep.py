@@ -258,3 +258,35 @@ def test_mmae_sweep_device_probe(loaders, tmp_path):
                 "svm_clean_val_acc_health_label"):
         assert col in df.columns, col
     assert df["svm_val_acc"].between(0, 1).all()
+
+
+def test_classification_sweep_pallas_backend(loaders, tmp_path):
+    """backend='pallas' drives both phases through the two-phase kernel
+    pipeline (interpret mode on CPU) and yields the same ledger schema
+    as the XLA backend.  1-device mesh: the interpret machinery's global
+    device barrier starves this box's single-CPU callback pool when many
+    devices run multi-program grids concurrently (simulator limit, see
+    test_pallas_sharded_matches_per_shard_runs)."""
+    from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+    import jax
+    unsup, sup = loaders
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup,
+        mmae_layer_sizes=[[12, 6]], classification_layer_sizes=[[8]],
+        tie_weights=[True], mmae_dropout_probs=[1.0],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0, 0.5], activation_funcs=["relu"],
+        mmae_num_steps=5, classification_num_steps=5,
+        results_path=str(tmp_path), num_cross_folds=2, verbose=False,
+        backend="pallas",
+        mesh=mesh_lib.make_mesh(devices=jax.devices()[:1],
+                                shape=(1, 1)))
+    assert sweep.num_settings == 2
+    sweep.sweep_all_parameters()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(df) == 2
+    for col in ("val_acc", "val_auc", "noisy_val_acc", "clean_val_acc",
+                "val_mmae_loss", "val_acc_happiness"):
+        assert col in df.columns, col
+    assert df["val_acc"].between(0, 1).all()

@@ -236,3 +236,233 @@ def test_pallas_sharded_matches_per_shard_runs():
         w_sh = np.asarray(jax.tree_util.tree_leaves(params_sh)[0][sl])
         w_i = np.asarray(jax.tree_util.tree_leaves(p_i)[0])
         np.testing.assert_allclose(w_sh, w_i, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 classification kernel (two-phase sweep)
+# ---------------------------------------------------------------------------
+
+def make_two_phase(cls_layers=(8,), softmax=False, variational=False,
+                   cls_wpen=0.0, steps2=1, lr=1e-2, num_labels=2,
+                   batch=8):
+    cfg = MMAEConfig(
+        num_feats=30, layer_sizes=(16, 6),
+        tie_weights=not variational, variational=variational,
+        activation="softsign", element_dropout_frac=0.0,
+        noise_type_percentages=(1.0, 0.0, 0.0, 0.0),
+        classification_layer_sizes=tuple(cls_layers),
+        num_labels=num_labels,
+        classification_loss=("softmax" if softmax
+                             else "sigmoid_cross_entropy")).validate()
+    tcfg = TrainConfig(learning_rate=1e-2, batch_size=8, num_steps=0,
+                       decay=False, clip_gradients=False)
+    cls_tcfg = TrainConfig(learning_rate=lr, batch_size=batch,
+                           num_steps=steps2, decay=False,
+                           clip_gradients=False)
+    spec = NoiseSpec.build(cfg, TABLE)
+    # seed chosen so no unit's gradient is near zero at init: first-step
+    # Adam is lr*sign(g), so an ~1e-6 gradient amplifies f32 summation
+    # noise into a full +/-lr sign flip (checked over seeds 0-11)
+    rng = np.random.default_rng(10)
+    X = rng.random((1, 30)).astype(np.float32)
+    if softmax:
+        Y = np.array([1], dtype=np.float32)            # single-label int
+    else:
+        Y = rng.integers(0, 2, (1, num_labels)).astype(np.float32)
+    unsup = gt.FoldedData.from_ragged([X], [X])
+    sup = gt.FoldedData.from_ragged([X], [X], [Y], [Y])
+    hyper = gt.HyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": 0.0,
+          "activation_function": "softsign"}], cfg, tcfg)
+    chyper = gt.ClassifierHyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": cls_wpen,
+          "activation_func": "softsign"}], cfg)
+    return cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper, chyper
+
+
+ADAM_EPS = 0.1   # exactness tests run Adam with a large epsilon: at
+# eps=1e-8 a first step is lr*sign(g), so any element whose true gradient
+# is near zero amplifies f32 summation noise into a full +/-lr
+# discrepancy between backends; a large eps keeps updates linear in g
+
+
+def xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y, cls_wpen, n):
+    """Hand-rolled XLA reference reproducing the pipeline's init key
+    derivation (phase-1 at 0 steps = init), then n phase-2 Adam steps."""
+    from multimodalautoencoder_tpu.models import mmae as mmae_lib
+
+    rng = jax.random.PRNGKey(0)
+    k_p1, k_cls_init, _, _ = jax.random.split(rng, 4)
+    cfg1 = tk._phase1_cfg(cfg)
+    k_init, _ = jax.random.split(k_p1)
+    enc_key = jax.random.split(k_init, 1).reshape(1, 1, 2)[0, 0]
+    p1 = mmae_lib.init(enc_key, cfg1)
+    cls_key = jax.random.split(k_cls_init, 1).reshape(1, 1, 2)[0, 0]
+    pc = mmae_lib.init(cls_key, cfg)
+    p = mmae_lib.MMAEParams(
+        enc_w=p1.enc_w, enc_b=p1.enc_b, dec_w=p1.dec_w, dec_b=p1.dec_b,
+        var_w=p1.var_w, var_b=p1.var_b, cls_w=pc.cls_w, cls_b=pc.cls_b)
+    xb = jnp.asarray(np.repeat(X, cls_tcfg.batch_size, axis=0))
+    if Y.ndim == 1:
+        yb = jnp.asarray(np.repeat(Y, cls_tcfg.batch_size, axis=0))
+    else:
+        yb = jnp.asarray(np.repeat(Y, cls_tcfg.batch_size, axis=0))
+    st = optim.adam_init(p)
+    for _ in range(n):
+        def loss_fn(q):
+            loss, _ = mmae_lib.classification_total_loss(
+                q, cfg, xb, yb, keep_prob=1.0, train=False, sample=False,
+                weight_penalty=cls_wpen)
+            return loss
+        g = jax.grad(loss_fn)(p)
+        p, st = optim.adam_update(g, st, p, cls_tcfg.learning_rate,
+                                  eps=ADAM_EPS)
+    return p
+
+
+@pytest.mark.parametrize("cls_layers", [(8,), (8, 4), ()])
+def test_cls_kernel_single_step_exact(cls_layers):
+    """1-3 head layers: one deterministic phase-2 step must match the
+    XLA trainer (single row, no corruption, no dropout)."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=cls_layers)
+    params, losses, preds = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=0, cls_num_steps=1, adam_eps=ADAM_EPS)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params)
+    assert_params_close(pk, xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y,
+                                              0.0, 1))
+    assert np.asarray(preds).shape == (1, 1, 1, 2)
+
+
+def test_cls_kernel_weight_penalty_exact():
+    """Phase-2 L2 applies to classification weights only."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), cls_wpen=0.01, steps2=3)
+    params, _, _ = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=0, cls_num_steps=3, adam_eps=ADAM_EPS)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params)
+    assert_params_close(pk, xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y,
+                                              0.01, 3), tol=1e-4)
+
+
+def test_cls_kernel_softmax_exact():
+    """Single-label mode: sparse-softmax loss gradient."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), softmax=True, steps2=2)
+    params, _, preds = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=0, cls_num_steps=2, adam_eps=ADAM_EPS)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params)
+    assert_params_close(pk, xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y,
+                                              0.0, 2), tol=1e-4)
+    assert np.asarray(preds).shape == (1, 1, 1)     # argmax predictions
+
+
+def test_cls_kernel_streamed_w1_exact():
+    """HBM-streamed W1 moments in phase 2 compute the identical update."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), steps2=3)
+    params, _, _ = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=0, cls_num_steps=3, force_stream=True,
+        adam_eps=ADAM_EPS)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params)
+    assert_params_close(pk, xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y,
+                                              0.0, 3), tol=1e-4)
+
+
+def test_cls_kernel_vae_runs():
+    """VAE phase-2: structure/finiteness (in-kernel sampling noise means
+    learning quality validates on hardware, like the phase-1 VAE)."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), variational=True,
+                              steps2=2)
+    params, losses, preds = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=1, cls_num_steps=2)
+    assert params.var_w.shape == (1, 1, 16, 6)
+    assert params.cls_w[0].shape == (1, 1, 6, 8)
+    assert params.cls_w[1].shape == (1, 1, 8, 2)
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_supported_two_phase_predicate():
+    (cfg, tcfg, cls_tcfg, spec, *_ ) = make_two_phase(cls_layers=(8,))
+    assert tk.supported_two_phase(cfg, tcfg, cls_tcfg, spec)
+    # headless configs are phase-1 territory
+    assert not tk.supported_two_phase(
+        cfg.replace(classification_layer_sizes=None), tcfg, cls_tcfg,
+        spec)
+    # 3 hidden head layers out of family
+    assert not tk.supported_two_phase(
+        cfg.replace(classification_layer_sizes=(8, 8, 8)), tcfg,
+        cls_tcfg, spec)
+    # both gate modes are in-family (static gate tuple)
+    assert tk.supported_two_phase(
+        cfg.replace(faithful_classify_gate=True), tcfg, cls_tcfg, spec)
+    assert tk._cls_gates(cfg.replace(
+        classification_layer_sizes=(8, 4),
+        faithful_classify_gate=True)) == (True, False, False)
+    assert tk._cls_gates(cfg.replace(
+        classification_layer_sizes=(8, 4),
+        faithful_classify_gate=False)) == (True, True, False)
+    # non-adam phase 2 falls back
+    import dataclasses
+    assert not tk.supported_two_phase(
+        cfg, tcfg, dataclasses.replace(cls_tcfg, optimizer="sgd"), spec)
+    # the ACII classification sweep's largest shape fits via streaming
+    big = cfg.replace(num_feats=1000, layer_sizes=(1000, 100),
+                      tie_weights=False,
+                      classification_layer_sizes=(100, 50))
+    assert tk.supported_two_phase(big, tcfg, cls_tcfg, spec)
+
+
+def test_two_phase_sharded_matches_per_shard_runs():
+    """shard_map'd two-phase pipeline equals each shard's slice through
+    the unsharded pipeline with the shard's folded RNG (pins rng fold,
+    hyper+chyper slicing, triple-output layout)."""
+    from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
+
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, _, _) = make_two_phase(
+        cls_layers=(8,), steps2=2)
+    settings = [{"dropout_prob": 1.0, "weight_penalty": float(w),
+                 "activation_function": "softsign"}
+                for w in np.linspace(0.0, 0.01, 4)]
+    hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
+    chyper = gt.ClassifierHyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": float(w),
+          "activation_func": "softsign"} for w in
+         np.linspace(0.0, 0.01, 4)], cfg)
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:2], shape=(2, 1))
+
+    params_sh, losses_sh, preds_sh = gt.train_two_phase_sharded(
+        mesh, jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper,
+        chyper, unsup, sup, num_steps=1, cls_num_steps=2,
+        backend="pallas")
+    assert np.asarray(losses_sh).shape == (4, 1)
+    assert np.asarray(preds_sh).shape == (4, 1, 1, 2)
+
+    for shard in (0, 1):
+        sl = slice(2 * shard, 2 * shard + 2)
+        h_i = gt.HyperStack(lr=hyper.lr[sl], keep_prob=hyper.keep_prob[sl],
+                            weight_penalty=hyper.weight_penalty[sl],
+                            act_id=hyper.act_id[sl])
+        c_i = gt.ClassifierHyperStack(
+            keep_prob=chyper.keep_prob[sl],
+            weight_penalty=chyper.weight_penalty[sl],
+            cls_act_id=chyper.cls_act_id[sl])
+        p_i, l_i, pr_i = tk.train_two_phase_pallas(
+            jax.random.fold_in(jax.random.PRNGKey(0), shard), cfg, tcfg,
+            cls_tcfg, spec, h_i, c_i, unsup, sup, num_steps=1,
+            cls_num_steps=2)
+        np.testing.assert_allclose(np.asarray(losses_sh)[sl],
+                                   np.asarray(l_i), rtol=1e-5)
+        w_sh = np.asarray(jax.tree_util.tree_leaves(params_sh)[0][sl])
+        w_i = np.asarray(jax.tree_util.tree_leaves(p_i)[0])
+        np.testing.assert_allclose(w_sh, w_i, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(preds_sh)[sl],
+                                      np.asarray(pr_i))

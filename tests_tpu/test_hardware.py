@@ -164,3 +164,60 @@ def test_parity_band_on_hardware(backend):
         num_steps=band["recipe"]["num_steps"])
     problems = parity.check_band(obs, band)
     assert not problems, "\n".join(problems)
+
+
+@requires_tpu
+@pytest.mark.parametrize("variational", [False, True])
+def test_two_phase_kernel_learns(variational):
+    """Two-phase kernel pipeline on hardware: phase-1 reduces recon loss
+    and phase-2 classification accuracy beats chance on a separable
+    synthetic task (interpret-mode PRNG is degenerate, so this is the
+    learning-quality check the CPU suite cannot run)."""
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    table = ModalityTable.uniform(5, 6, names=("call", "location",
+                                               "screen", "sms", "survey"))
+    cfg = MMAEConfig(num_feats=30, layer_sizes=(16, 6),
+                     tie_weights=not variational,
+                     variational=variational,
+                     classification_layer_sizes=(8,), num_labels=2,
+                     classification_loss="sigmoid_cross_entropy"
+                     ).validate()
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=20, num_steps=1000,
+                       clip_gradients=False)
+    cls_tcfg = TrainConfig(learning_rate=1e-3, batch_size=50,
+                           num_steps=1500, clip_gradients=False)
+    spec = NoiseSpec.build(cfg, table)
+    rng = np.random.default_rng(0)
+    X = rng.random((400, 30)).astype(np.float32)
+    # separable labels: feature-mean threshold per label
+    Y = np.stack([(X[:, :15].mean(1) > X[:, :15].mean()),
+                  (X[:, 15:].mean(1) > X[:, 15:].mean())],
+                 axis=1).astype(np.float32)
+    unsup = gt.FoldedData.from_ragged([X[:300]], [X[300:]])
+    sup = gt.FoldedData.from_ragged([X[:300]], [X[300:]], [Y[:300]],
+                                    [Y[300:]])
+    hyper = gt.HyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": 0.0,
+          "activation_function": "relu"}], cfg, tcfg)
+    chyper = gt.ClassifierHyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": 0.0,
+          "activation_func": "relu"}], cfg)
+
+    _, l0, _ = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=0, cls_num_steps=0)
+    _, l1, preds = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup)
+    l0, l1 = np.asarray(l0), np.asarray(l1)
+    assert np.isfinite(l1).all() and (l1 < l0).all()
+    preds = np.asarray(preds)[0, 0]            # (val, 2)
+    acc = (preds == Y[300:]).mean()
+    assert acc > 0.7, f"phase-2 accuracy {acc:.2f} not above chance"
