@@ -1,129 +1,90 @@
-"""Benchmark: ACII-2017 grid-search throughput on one TPU chip.
+"""Benchmark: the ACII-2017 grid search, measured END-TO-END on one TPU
+chip.
 
-Workload (the reference's implied headline workload, SURVEY.md §6):
-108 MMAE settings (72 DAE + 36 VAE over architectures 1000/500/300 x 100)
-x 5-fold CV x 15000 Adam steps at batch 20 — which the reference runs as
-a serial Python loop with one ``session.run`` per step
-(generic_wrapper.py:253-300).
+Workload (the reference's headline job, SURVEY.md §6): the full
+``MMAESweep.run()`` product surface at the reference's scale — 108
+settings (72 DAE + 36 VAE over architectures 1000/500/300 x 100,
+autoencoder_wrapper.py:127-155) x 5-fold CV x 15000 Adam steps at batch
+20, embedding-quality probe ON (the on-device kernel-ridge probe,
+sweep/probe.py; the reference fits host-side RBF SVCs,
+autoencoder_wrapper.py:202-284), results ledger ON, best-setting
+selection included.  The reference runs this as a serial Python loop
+with one ``session.run`` per step (generic_wrapper.py:253-300).
 
-Method: measure every bucket of the real grid composition — per
-architecture, 12 tied DAE + 12 untied DAE + 12 VAE settings — each as
-12 configs x 5 folds x 300 steps with backend='auto' (the Pallas
-VMEM-resident training kernel where the shape fits, the XLA grid trainer
-otherwise, VAE always XLA), then project full-grid configs/hour.
-
-Recipe: the framework's performance mode — bfloat16 Adam accumulators
-(the optimizer's HBM traffic is the measured bottleneck) and no gradient
-clipping, which matches the reference's *effective* behavior (its
-clip_gradients flag is dead code, SURVEY §2.8.2).  Model math stays f32.
+This is a MEASURED wall-clock number, not a projection: the timer wraps
+``sweep.run()`` itself, so kernel training, probe, device->host metric
+pulls, ledger writes, and bucket-switch overhead are all inside it.
+Training uses the sweep's default performance mode (bfloat16 Adam
+accumulators; the optimizer's HBM traffic is the measured bottleneck —
+model math stays f32).  Pallas VMEM-resident training kernel via
+backend='auto' everywhere (all 9 grid buckets are in the kernel family).
 
 Baseline: BASELINE.md's target of the full grid in <10 min on a v4-8
 (108 configs / 10 min = 648 configs/hour).  vs_baseline > 1 means this
-single chip beats the whole-v4-8 target.
+single chip beats the whole-v4-8 target end-to-end.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import shutil
+import tempfile
 import time
-
-import numpy as np
-
-
-def _materialize(tree):
-    """Force device->host transfer.  On the tunnel-attached 'axon'
-    platform ``jax.block_until_ready`` returns before execution finishes;
-    only a host copy truly synchronizes."""
-    import jax
-
-    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
 def main():
-    import jax
-
     from multimodalautoencoder_tpu.utils.cache import \
         enable_persistent_cache
     enable_persistent_cache()
 
-    from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
-    from multimodalautoencoder_tpu.data.modalities import ModalityTable
-    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
-    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    from multimodalautoencoder_tpu.data import synthetic
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    from multimodalautoencoder_tpu.sweep.wrappers import MMAESweep
 
-    # Reference workload constants (autoencoder_wrapper.py:79-92, :127-155)
-    # Per architecture: 12 tied DAE + 12 untied DAE + 12 VAE settings.
-    ARCHS = ((1000, 100), (500, 100), (300, 100))
-    BUCKETS = [(arch, variant) for arch in ARCHS
-               for variant in ("tied", "untied", "vae")]
-    CONFIGS_PER_BUCKET = 12
-    FULL_FOLDS = 5
     FULL_STEPS = 15000
-    BATCH = 20
-    NUM_FEATS = 1000
+    FOLDS = 5
 
-    MEAS_CONFIGS = 12
-    MEAS_STEPS = 300
+    workdir = tempfile.mkdtemp(prefix="bench_sweep_")
+    try:
+        # reference-scale synthetic dataset: 1000 features over the 5
+        # study modalities, ~2000 rows, the 3 mood labels
+        path = synthetic.write_csv(
+            os.path.join(workdir, "acii.csv"), num_rows=2000, seed=0,
+            modalities=(("call", 200), ("location", 200),
+                        ("screen", 200), ("sms", 200), ("survey", 200)),
+            label_names=("happiness_label", "health_label",
+                         "calmness_label"))
+        unsup = DataLoader(path, supervised=False, cross_validation=True,
+                           suppress_output=True, normalize_and_fill=True,
+                           fill_gaps_with=-1.0)
+        sup = DataLoader(path, supervised=True, cross_validation=True,
+                         suppress_output=True, normalize_and_fill=True,
+                         fill_gaps_with=-1.0)
 
-    rng_np = np.random.default_rng(0)
-    table = ModalityTable.uniform(5, NUM_FEATS // 5,
-                                  names=("call", "location", "screen",
-                                         "sms", "survey"))
-    n_rows = 2000
-    X = rng_np.random((n_rows, NUM_FEATS)).astype(np.float32)
-    split = int(n_rows * 0.8)
-    folded = gt.FoldedData.from_ragged([X[:split]] * FULL_FOLDS,
-                                       [X[split:]] * FULL_FOLDS)
-
-    tcfg = TrainConfig(learning_rate=1e-3, batch_size=BATCH,
-                       num_steps=FULL_STEPS, clip_gradients=False,
-                       optimizer_state_dtype="bfloat16")
-    settings = [{"dropout_prob": 1.0 if i % 2 else 0.5,
-                 "weight_penalty": [0.0, 0.01, 0.001][i % 3],
-                 "activation_function": ["softsign", "relu"][i % 2]}
-                for i in range(MEAS_CONFIGS)]
-
-    from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
-    mesh = mesh_lib.make_mesh()
-
-    def measure(cfg):
-        spec = NoiseSpec.build(cfg, table)
-        hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
-        # compile (persistent cache makes repeats fast); backend='auto'
-        # picks the Pallas VMEM-resident training kernel where the shape
-        # fits, the XLA grid trainer otherwise
-        _, l = gt.train_grid_sharded(mesh, jax.random.PRNGKey(0), cfg,
-                                     tcfg, spec, hyper, folded,
-                                     num_steps=MEAS_STEPS)
-        _materialize(l)
         t0 = time.perf_counter()
-        _, l = gt.train_grid_sharded(mesh, jax.random.PRNGKey(1), cfg,
-                                     tcfg, spec, hyper, folded,
-                                     num_steps=MEAS_STEPS)
-        _materialize(l)
-        return MEAS_CONFIGS * FULL_FOLDS * MEAS_STEPS / (
-            time.perf_counter() - t0)
+        sweep = MMAESweep(
+            unsup, sup,
+            results_path=os.path.join(workdir, "results"),
+            num_steps=FULL_STEPS, num_cross_folds=FOLDS,
+            probe="device", verbose=False)
+        assert sweep.num_settings == 108, sweep.num_settings
+        best, _, extras = sweep.run()
+        wall = time.perf_counter() - t0
 
-    total_secs = 0.0
-    for arch, variant in BUCKETS:
-        cfg = MMAEConfig(num_feats=NUM_FEATS, layer_sizes=arch,
-                         tie_weights=(variant == "tied"),
-                         variational=(variant == "vae"),
-                         loss="sigmoid_cross_entropy").validate()
-        ips = measure(cfg)
-        bucket_steps = CONFIGS_PER_BUCKET * FULL_FOLDS * FULL_STEPS
-        total_secs += bucket_steps / ips
-
-    total_configs = len(BUCKETS) * CONFIGS_PER_BUCKET
-    configs_per_hour = total_configs / (total_secs / 3600)
-    baseline_configs_per_hour = 648.0  # 108 configs / 10 min target
-    print(json.dumps({
-        "metric": "acii2017_grid_configs_per_hour",
-        "value": round(configs_per_hour, 2),
-        "unit": "configs/hour (108cfg x 5fold x 15k steps workload)",
-        "vs_baseline": round(configs_per_hour / baseline_configs_per_hour,
-                             3),
-    }))
+        configs_per_hour = sweep.num_settings / (wall / 3600.0)
+        baseline_configs_per_hour = 648.0   # 108 configs / 10 min target
+        print(json.dumps({
+            "metric": "acii2017_full_sweep_configs_per_hour",
+            "value": round(configs_per_hour, 2),
+            "unit": ("configs/hour, MEASURED end-to-end MMAESweep.run() "
+                     "(108cfg x 5fold x 15k steps, probe+ledger on; "
+                     f"wall {wall:.1f}s)"),
+            "vs_baseline": round(
+                configs_per_hour / baseline_configs_per_hour, 3),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -66,15 +66,38 @@ from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 LANE = 128
 SUB = 8
 CH = 128                         # moment-streaming chunk width (lanes)
+CROWS = 512                      # moment-streaming max tile height (rows)
 # Budget under the 16 MiB core, leaving ~1 MiB for compiler-scheduled
 # temporaries.  Calibrated against hardware: the largest admitted shape
 # (tied 1000->100, 14.62 MiB estimated) compiles and trains on a v5e
 # core; shapes estimated above this fall back to the XLA grid trainer.
 VMEM_BUDGET = 15 * 1024 * 1024
+# Mosaic scoped-vmem ceiling requested per kernel.  The v5e core has
+# ~16 MiB of VMEM; requesting the full 16 MiB leaves scheduling slack to
+# the (rb, CH) tiled moment stream, which keeps declared scratch +
+# compiler temporaries ~1.5 MiB under this line for every admitted
+# shape.
+VMEM_LIMIT_BYTES = 16 * 1024 * 1024
 
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _row_block(rows: int) -> int:
+    """Height of one moment-streaming tile: at most CROWS, dividing
+    ``rows`` exactly, SUB-aligned.  Streaming in (rb, CH) tiles instead
+    of full (rows, CH) columns halves the chunk buffers AND the f32
+    m/v/g stack temporaries Mosaic keeps live inside the pipelined Adam
+    loop — the streamed untied-1000 bucket sat at 16.39 MiB of scoped
+    VMEM (over the ~16 MiB/core physical budget) with full-column
+    chunks."""
+    if rows <= CROWS:
+        return rows
+    nb = -(-rows // CROWS)
+    while rows % nb or (rows // nb) % SUB:
+        nb += 1
+    return rows // nb
 
 
 def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
@@ -98,14 +121,14 @@ def vmem_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
         m_elems -= F * H1 + H1 * F          # W1/W4 moments in HBM
     # two buffers (m and v) x bytes per element (2 bf16 / 4 f32)
     moment_bytes = 2 * m_elems * 2 * state_mult
-    # m+v chunk buffers x two pipeline slots
-    chunk_bytes = (4 * max(F, H1) * CH * 2 * state_mult
-                   if stream_big else 0)
+    # m+v tile buffers x two pipeline slots ((rb, CH) tiles)
+    rb = max(_row_block(F), _row_block(H1))
+    chunk_bytes = 4 * rb * CH * 2 * state_mult if stream_big else 0
     staging = 4 * _pad_to(tcfg.batch_size, SUB) * SUB * F
     transient = 4 * max(F * H1, H1 * H2,
                         0 if tied else max(H2 * H1, H1 * F))
     if stream_big and not tied:
-        transient = 4 * max(H1 * H2, H2 * H1, max(F, H1) * CH)
+        transient = 4 * max(H1 * H2, H2 * H1, rb * CH)
     acts = 4 * _pad_to(tcfg.batch_size, SUB) * (3 * F + 4 * H1 + 2 * H2)
     return (param_bytes + moment_bytes + chunk_bytes + staging
             + transient + acts)
@@ -229,17 +252,19 @@ def _train_kernel(
         m[...] = jnp.zeros(m.shape, m.dtype)
         v[...] = jnp.zeros(v.shape, v.dtype)
     if stream_big:
-        # zero the streamed W1/W4 moment buffers chunk by chunk
+        # zero the streamed W1/W4 moment buffers tile by tile
         mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
         for hbuf, rows in ((m1h, w1s.shape[0]), (v1h, w1s.shape[0]),
                            (m4h, w4s.shape[0]), (v4h, w4s.shape[0])):
-            ncols = hbuf.shape[2]
-            for c in range(ncols // CH):
-                cp = pltpu.make_async_copy(
-                    mchunk.at[0, pl.ds(0, rows), :],
-                    hbuf.at[i, :, pl.ds(c * CH, CH)], psem)
-                cp.start()
-                cp.wait()
+            rb = _row_block(rows)
+            for r in range(rows // rb):
+                for c in range(hbuf.shape[2] // CH):
+                    cp = pltpu.make_async_copy(
+                        mchunk.at[0, pl.ds(0, rb), :],
+                        hbuf.at[i, pl.ds(r * rb, rb),
+                                pl.ds(c * CH, CH)], psem)
+                    cp.start()
+                    cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     row_mask = jnp.where(
@@ -372,66 +397,81 @@ def _train_kernel(
         pen = 2.0 if tied else 1.0
 
         def adam_streamed(w_scr, mh, vh, left, right):
-            # chunked Adam for one big weight, two-slot software pipeline:
-            # chunk c+1's moment reads fly while chunk c's math runs, and
-            # chunk c's writebacks drain while chunk c+1 computes.  Slot s
+            # tiled Adam for one big weight, two-slot software pipeline:
+            # tile t+1's moment reads fly while tile t's math runs, and
+            # tile t's writebacks drain while tile t+1 computes.  Slot s
             # owns sems[2s] (m) and sems[2s+1] (v); a slot's out-DMA is
-            # waited before the slot is reused for an in-DMA two chunks
+            # waited before the slot is reused for an in-DMA two tiles
             # later, so each semaphore has at most one DMA outstanding.
+            # Tiles are (rb, CH) — rb <= CROWS row blocks, not full
+            # columns — to keep the chunk buffers AND the f32 m/v/g
+            # temporaries inside the scoped-VMEM budget (_row_block).
             rows = w_scr.shape[0]
-            nch = w_scr.shape[1] // CH
+            rb = _row_block(rows)
+            tiles = [(r, c) for r in range(rows // rb)
+                     for c in range(w_scr.shape[1] // CH)]
+            nt = len(tiles)
 
-            def in_copies(c, s):
+            def in_copies(t, s):
+                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            mh.at[i, :, pl.ds(c * CH, CH)],
-                            mchunk.at[s, pl.ds(0, rows), :],
+                            mh.at[i, pl.ds(r * rb, rb),
+                                  pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            vh.at[i, :, pl.ds(c * CH, CH)],
-                            vchunk.at[s, pl.ds(0, rows), :],
+                            vh.at[i, pl.ds(r * rb, rb),
+                                  pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s + 1]))
 
-            def out_copies(c, s):
+            def out_copies(t, s):
+                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            mchunk.at[s, pl.ds(0, rows), :],
-                            mh.at[i, :, pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rb), :],
+                            mh.at[i, pl.ds(r * rb, rb),
+                                  pl.ds(c * CH, CH)],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            vchunk.at[s, pl.ds(0, rows), :],
-                            vh.at[i, :, pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rb), :],
+                            vh.at[i, pl.ds(r * rb, rb),
+                                  pl.ds(c * CH, CH)],
                             sems.at[2 * s + 1]))
 
             for cp in in_copies(0, 0):
                 cp.start()
-            for c in range(nch):
-                s = c % 2
-                if c + 1 < nch:
-                    if c >= 1:
-                        # free the other slot: its writeback (chunk c-1)
-                        # must land before chunk c+1's read reuses it
-                        for cp in out_copies(c - 1, 1 - s):
+            for t in range(nt):
+                s = t % 2
+                r, c = tiles[t]
+                if t + 1 < nt:
+                    if t >= 1:
+                        # free the other slot: its writeback (tile t-1)
+                        # must land before tile t+1's read reuses it
+                        for cp in out_copies(t - 1, 1 - s):
                             cp.wait()
-                    for cp in in_copies(c + 1, 1 - s):
+                    for cp in in_copies(t + 1, 1 - s):
                         cp.start()
-                g = (jnp.dot(left.T, right[:, c * CH:(c + 1) * CH],
+                g = (jnp.dot(left[:, r * rb:(r + 1) * rb].T,
+                             right[:, c * CH:(c + 1) * CH],
                              preferred_element_type=jnp.float32)
-                     + wpen * w_scr[:, c * CH:(c + 1) * CH])
-                for cp in in_copies(c, s):
+                     + wpen * w_scr[r * rb:(r + 1) * rb,
+                                    c * CH:(c + 1) * CH])
+                for cp in in_copies(t, s):
                     cp.wait()
-                m = (b1_const * mchunk[s, pl.ds(0, rows), :].astype(
+                m = (b1_const * mchunk[s, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b1_const) * g)
-                v = (b2_const * vchunk[s, pl.ds(0, rows), :].astype(
+                v = (b2_const * vchunk[s, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b2_const) * jnp.square(g))
-                mchunk[s, pl.ds(0, rows), :] = m.astype(mchunk.dtype)
-                vchunk[s, pl.ds(0, rows), :] = v.astype(vchunk.dtype)
-                w_scr[:, c * CH:(c + 1) * CH] = (
-                    w_scr[:, c * CH:(c + 1) * CH]
+                mchunk[s, pl.ds(0, rb), :] = m.astype(mchunk.dtype)
+                vchunk[s, pl.ds(0, rb), :] = v.astype(vchunk.dtype)
+                w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
+                    w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
                     - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-                for cp in out_copies(c, s):
+                for cp in out_copies(t, s):
                     cp.start()
-            for c in (nch - 2, nch - 1):
-                if c >= 0:
-                    for cp in out_copies(c, c % 2):
+            for t in (nt - 2, nt - 1):
+                if t >= 0:
+                    for cp in out_copies(t, t % 2):
                         cp.wait()
 
         # ---- weight gradients applied tensor-by-tensor (one transient
@@ -699,11 +739,11 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
           + moment_pair(*wv_rc)
           + moment_pair(*((SUB, H2p) if cfg.variational
                           else (SUB, LANE)))
-          # two-slot chunk pipeline buffers for the streamed moments
-          + [pltpu.VMEM((2, max(Fp, H1p), CH) if stream_big
-                        else (2, SUB, CH), state_dt),
-             pltpu.VMEM((2, max(Fp, H1p), CH) if stream_big
-                        else (2, SUB, CH), state_dt)],
+          # two-slot tile pipeline buffers for the streamed moments
+          + [pltpu.VMEM((2, max(_row_block(Fp), _row_block(H1p)), CH)
+                        if stream_big else (2, SUB, CH), state_dt),
+             pltpu.VMEM((2, max(_row_block(Fp), _row_block(H1p)), CH)
+                        if stream_big else (2, SUB, CH), state_dt)],
     )
 
     out = pl.pallas_call(
@@ -724,7 +764,11 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         # program order makes equivalent
         interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                    if interpret else False),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # scoped-vmem limit raised toward the physical 16 MiB core: the
+        # streamed untied-1000 bucket's scratch (~16.4 MB incl. compiler
+        # temporaries) exceeds Mosaic's 16.0 MB default by ~0.4 MB
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
       train, table, cum, featmask,
       w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)
@@ -822,7 +866,8 @@ def cls_vmem_bytes(cfg: MMAEConfig, cls_tcfg: TrainConfig,
     if stream_big:
         m_elems -= F * H1
     moment_bytes = 2 * m_elems * 2 * state_mult
-    chunk_bytes = 4 * F * CH * 2 * state_mult if stream_big else 0
+    chunk_bytes = (4 * _row_block(F) * CH * 2 * state_mult
+                   if stream_big else 0)
     Bp = _pad_to(cls_tcfg.batch_size, SUB)
     staging = 4 * Bp * SUB * (F + Lp)
     transient = 4 * max(H1 * H2, 0 if stream_big else F * H1,
@@ -934,13 +979,16 @@ def _cls_train_kernel(
     if stream_big:
         mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
         rows = w1s.shape[0]
+        rb = _row_block(rows)
         for hbuf in (m1h, v1h):
-            for c in range(hbuf.shape[2] // CH):
-                cp = pltpu.make_async_copy(
-                    mchunk.at[0, pl.ds(0, rows), :],
-                    hbuf.at[i, :, pl.ds(c * CH, CH)], psem)
-                cp.start()
-                cp.wait()
+            for r in range(rows // rb):
+                for c in range(hbuf.shape[2] // CH):
+                    cp = pltpu.make_async_copy(
+                        mchunk.at[0, pl.ds(0, rb), :],
+                        hbuf.at[i, pl.ds(r * rb, rb),
+                                pl.ds(c * CH, CH)], psem)
+                    cp.start()
+                    cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     labelmask = labelmask_ref[0, :]                     # (Lp,)
@@ -1096,59 +1144,71 @@ def _cls_train_kernel(
         g1 = g_a1d * d1 * _act_grad(z1, enc_act)
 
         def adam_streamed_w1():
-            # chunked Adam for W1, two-slot pipeline (same scheme as the
-            # phase-1 kernel's adam_streamed; W1 carries no L2 here)
+            # tiled Adam for W1, two-slot pipeline (same scheme as the
+            # phase-1 kernel's adam_streamed; W1 carries no L2 here).
+            # (rb, CH) tiles, not full columns — see _row_block.
             rows = w1s.shape[0]
-            nch = w1s.shape[1] // CH
+            rb = _row_block(rows)
+            tiles = [(r, c) for r in range(rows // rb)
+                     for c in range(w1s.shape[1] // CH)]
+            nt = len(tiles)
 
-            def in_copies(c, s):
+            def in_copies(t, s):
+                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            m1h.at[i, :, pl.ds(c * CH, CH)],
-                            mchunk.at[s, pl.ds(0, rows), :],
+                            m1h.at[i, pl.ds(r * rb, rb),
+                                   pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            v1h.at[i, :, pl.ds(c * CH, CH)],
-                            vchunk.at[s, pl.ds(0, rows), :],
+                            v1h.at[i, pl.ds(r * rb, rb),
+                                   pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s + 1]))
 
-            def out_copies(c, s):
+            def out_copies(t, s):
+                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            mchunk.at[s, pl.ds(0, rows), :],
-                            m1h.at[i, :, pl.ds(c * CH, CH)],
+                            mchunk.at[s, pl.ds(0, rb), :],
+                            m1h.at[i, pl.ds(r * rb, rb),
+                                   pl.ds(c * CH, CH)],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            vchunk.at[s, pl.ds(0, rows), :],
-                            v1h.at[i, :, pl.ds(c * CH, CH)],
+                            vchunk.at[s, pl.ds(0, rb), :],
+                            v1h.at[i, pl.ds(r * rb, rb),
+                                   pl.ds(c * CH, CH)],
                             sems.at[2 * s + 1]))
 
             for cp in in_copies(0, 0):
                 cp.start()
-            for c in range(nch):
-                s = c % 2
-                if c + 1 < nch:
-                    if c >= 1:
-                        for cp in out_copies(c - 1, 1 - s):
+            for t in range(nt):
+                s = t % 2
+                r, c = tiles[t]
+                if t + 1 < nt:
+                    if t >= 1:
+                        for cp in out_copies(t - 1, 1 - s):
                             cp.wait()
-                    for cp in in_copies(c + 1, 1 - s):
+                    for cp in in_copies(t + 1, 1 - s):
                         cp.start()
-                gch = jnp.dot(xn.T, g1[:, c * CH:(c + 1) * CH],
+                gch = jnp.dot(xn[:, r * rb:(r + 1) * rb].T,
+                              g1[:, c * CH:(c + 1) * CH],
                               preferred_element_type=jnp.float32)
-                for cp in in_copies(c, s):
+                for cp in in_copies(t, s):
                     cp.wait()
-                m = (b1_const * mchunk[s, pl.ds(0, rows), :].astype(
+                m = (b1_const * mchunk[s, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b1_const) * gch)
-                v = (b2_const * vchunk[s, pl.ds(0, rows), :].astype(
+                v = (b2_const * vchunk[s, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b2_const) * jnp.square(gch))
-                mchunk[s, pl.ds(0, rows), :] = m.astype(mchunk.dtype)
-                vchunk[s, pl.ds(0, rows), :] = v.astype(vchunk.dtype)
-                w1s[:, c * CH:(c + 1) * CH] = (
-                    w1s[:, c * CH:(c + 1) * CH]
+                mchunk[s, pl.ds(0, rb), :] = m.astype(mchunk.dtype)
+                vchunk[s, pl.ds(0, rb), :] = v.astype(vchunk.dtype)
+                w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
+                    w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
                     - lr_const * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-                for cp in out_copies(c, s):
+                for cp in out_copies(t, s):
                     cp.start()
-            for c in (nch - 2, nch - 1):
-                if c >= 0:
-                    for cp in out_copies(c, c % 2):
+            for t in (nt - 2, nt - 1):
+                if t >= 0:
+                    for cp in out_copies(t, t % 2):
                         cp.wait()
 
         if stream_big:
@@ -1420,9 +1480,9 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
           + moment_pair(*cls_rc[0]) + moment_pair(SUB, cls_rc[0][1])
           + moment_pair(*cls_rc[1]) + moment_pair(SUB, cls_rc[1][1])
           + moment_pair(*cls_rc[2]) + moment_pair(SUB, cls_rc[2][1])
-          + [pltpu.VMEM((2, Fp, CH) if stream_big
+          + [pltpu.VMEM((2, _row_block(Fp), CH) if stream_big
                         else (2, SUB, CH), state_dt),
-             pltpu.VMEM((2, Fp, CH) if stream_big
+             pltpu.VMEM((2, _row_block(Fp), CH) if stream_big
                         else (2, SUB, CH), state_dt)],
     )
 
@@ -1438,7 +1498,8 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
            [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 2),
         interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                    if interpret else False),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(seeds, fold_ids, n_valid, keep, wpen, eact, cact,
       traincat, table, cum, featmask, labelmask,
       w1, b1, w2, b2, wv, bv,

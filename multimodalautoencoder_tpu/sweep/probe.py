@@ -14,10 +14,13 @@ analog of SVC(C) — probe *values* are distributionally comparable, not
 bitwise equal, to libsvm's (PARITY.md); ``MMAESweep(probe="svm")`` keeps
 the faithful sklearn path.
 
-Everything is batched: vmap over configs and folds, a static Python
-loop over the 6 (C, gamma) hyper pairs (the Gram distance matrix is
-shared; each pair is one batched Cholesky), vmap over labels.  Only the
-(C, K, L, 3, 2) best-metric tensor leaves the device.
+Everything is batched: folds and labels vmapped, configs sequential
+under ``lax.map`` (one config's K-batched Gram work already saturates
+the MXU, and C-vmapping the (rows, rows) Gram matrices overflows HBM at
+reference scale), a static Python loop over the 6 (C, gamma) hyper
+pairs (the Gram distance matrix is shared; each pair is one batched
+Cholesky).  Only the (C, K, L, 3, 2) best-metric tensor leaves the
+device.
 """
 
 from __future__ import annotations
@@ -135,10 +138,16 @@ def probe_grid(rng, params_stacked, act_ids, folded, *, cfg: MMAEConfig,
         return _probe_instance(p, act_id, tx, tn, tyf, vx, vn, vyf, vns,
                                k, cfg=cfg, Cs=Cs, gammas=gammas)
 
-    def per_config(p_c, act_id, keys_c):
+    def per_config(args):
+        p_c, act_id, keys_c = args
         return jax.vmap(per_fold,
                         in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0, 0))(
             p_c, act_id, folded.train_x, folded.train_n, ty,
             folded.val_x, folded.val_n, vy, vnoisy, keys_c)
 
-    return jax.vmap(per_config)(params_stacked, act_ids, keys)
+    # configs run under lax.map (sequential), folds vmapped inside: the
+    # live set is K Gram matrices instead of C*K — at reference scale
+    # (C=12, K=5, ~1300 train rows) a config-vmapped probe materializes
+    # multi-GB of (rows, rows) kernels and overflows HBM, while one
+    # config's K-batched Gram/Cholesky already saturates the MXU
+    return jax.lax.map(per_config, (params_stacked, act_ids, keys))

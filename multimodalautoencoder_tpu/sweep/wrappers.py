@@ -79,7 +79,8 @@ class MMAESweep:
                  seed: int = 0, verbose: bool = True,
                  process_shard=None, save_best_params: bool = False,
                  backend: str = "auto",
-                 optimizers: Optional[Sequence[str]] = None):
+                 optimizers: Optional[Sequence[str]] = None,
+                 optimizer_state_dtype: str = "bfloat16"):
         """``probe``: 'device' (default) scores embedding quality with the
         jitted on-device RBF kernel-ridge probe (sweep/probe.py) — same
         ledger columns, no device->host embedding pulls; 'svm' is the
@@ -118,11 +119,17 @@ class MMAESweep:
         # clip_gradients defaults OFF: the reference passes the flag but
         # never applies it (SURVEY §2.8.2), and no-clip keeps the sweep in
         # the Pallas kernel's family; pass True for the working fix.
+        # optimizer_state_dtype defaults to the performance mode (bf16
+        # Adam moments — the optimizer's HBM traffic is the measured
+        # bottleneck); parity with the reference is distributional either
+        # way (PARITY.md), pass "float32" for exact reference-style
+        # accumulator numerics.
         self.tcfg = TrainConfig(
             learning_rate=learning_rate, batch_size=batch_size,
             num_steps=num_steps, decay=True, decay_steps=1000,
             decay_rate=0.95, clip_gradients=clip_gradients,
-            record_every_nth=max(num_steps // 10, 1), seed=seed)
+            record_every_nth=max(num_steps // 10, 1), seed=seed,
+            optimizer_state_dtype=optimizer_state_dtype)
         self.optimize_for = optimize_for or ("val_" + self.loss_func)
         self.min_or_max = min_or_max
 
@@ -489,11 +496,14 @@ class MMAEClassificationSweep:
                  optimize_for: str = "val_acc", min_or_max: str = "max",
                  check_noisy_data: bool = True, mesh=None,
                  save_results_every_nth: int = 1, seed: int = 0,
-                 verbose: bool = True, backend: str = "auto"):
+                 verbose: bool = True, backend: str = "auto",
+                 optimizer_state_dtype: str = "bfloat16"):
         """``backend``: 'auto' trains both phases with the VMEM-resident
         Pallas kernel pipeline where the shape family allows
         (ops/train_kernel.supported_two_phase), the XLA grid trainer
-        otherwise; 'xla' / 'pallas' force."""
+        otherwise; 'xla' / 'pallas' force.  ``optimizer_state_dtype``:
+        'bfloat16' (performance default, halves optimizer HBM traffic) or
+        'float32' for exact reference-style accumulator numerics."""
         from multimodalautoencoder_tpu.utils.cache import \
             enable_persistent_cache
         enable_persistent_cache()
@@ -533,13 +543,14 @@ class MMAEClassificationSweep:
         self.tcfg = TrainConfig(
             learning_rate=mmae_learning_rate, batch_size=mmae_batch_size,
             num_steps=mmae_num_steps, clip_gradients=False,
-            record_every_nth=max(mmae_num_steps // 10, 1), seed=seed)
+            record_every_nth=max(mmae_num_steps // 10, 1), seed=seed,
+            optimizer_state_dtype=optimizer_state_dtype)
         self.cls_tcfg = TrainConfig(
             learning_rate=classification_learning_rate,
             batch_size=classification_batch_size,
             num_steps=classification_num_steps, clip_gradients=False,
             record_every_nth=max(classification_num_steps // 10, 1),
-            seed=seed)
+            seed=seed, optimizer_state_dtype=optimizer_state_dtype)
 
         params = {
             "mmae_architecture": [list(a) for a in mmae_layer_sizes],
