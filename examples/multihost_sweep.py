@@ -8,12 +8,18 @@ usual best-setting selection.  No gradient or parameter traffic crosses
 DCN (contrast the reference, whose cross-job "communication" is a shared
 filesystem + SMTP email, run_jobs.py:60-83).
 
-This demo simulates N hosts as N worker subprocesses on the CPU backend
-(`process_shard=(i, N)`); on a real multi-host slice the only changes are
-`multihost.initialize()` (jax.distributed) supplying (i, N) and the
-config-axis mesh picking up the local chips.
+Two modes:
+- default: simulates N hosts as N sequential worker subprocesses on the
+  CPU backend (`process_shard=(i, N)`).
+- ``--distributed``: the REAL multi-host path — N concurrent worker
+  processes bring up ``jax.distributed`` (gloo over TCP, the same
+  runtime contract as a DCN slice), derive their shard from
+  ``jax.process_index()``, sync on ``multihost.barrier()``, and host 0
+  merges the ledger shards inside the job.  On actual TPU hosts the
+  only change is the coordinator address and local chips replacing CPU.
 
 Run: python examples/multihost_sweep.py [--hosts 2] [--steps 300]
+     [--distributed]
 """
 
 import argparse
@@ -31,13 +37,24 @@ GRID = dict(layer_sizes=[[32, 8], [16, 8]], tie_weights=[True, False],
 
 
 def worker(args):
-    """One simulated host: train this process's settings slice."""
+    """One host: train this process's settings slice.  With
+    ``--coordinator`` the shard comes from the real distributed runtime
+    (jax.process_index after jax.distributed.initialize), not the CLI."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
     from multimodalautoencoder_tpu.data import DataLoader
+    from multimodalautoencoder_tpu.parallel import multihost
     from multimodalautoencoder_tpu.sweep.wrappers import MMAESweep
+
+    if args.coordinator:
+        idx, count = multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.hosts, process_id=args.process_id)
+        assert (idx, count) == (args.process_id, args.hosts), (idx, count)
+    else:
+        idx, count = args.process_id, args.hosts
 
     unsup = DataLoader(args.data, supervised=False, cross_validation=True,
                        normalize_and_fill=True, fill_gaps_with=-1.0,
@@ -45,10 +62,24 @@ def worker(args):
     sweep = MMAESweep(unsup, results_path=args.out, cont=False,
                       probe=None, num_steps=args.steps,
                       num_cross_folds=2, verbose=False,
-                      process_shard=(args.process_id, args.hosts), **GRID)
+                      process_shard=(idx, count), **GRID)
     sweep.run()
-    print(json.dumps({"host": args.process_id,
-                      "settings_trained": len(sweep.ledger.df)}))
+    print(json.dumps({"host": idx,
+                      "settings_trained": len(sweep.ledger.df)}),
+          flush=True)
+
+    if args.coordinator:
+        # real cross-host ordering: every shard on disk before the merge
+        multihost.barrier("ledger_shards_written")
+        if idx == 0:
+            from multimodalautoencoder_tpu.sweep import engine
+
+            prefix = engine.get_save_prefix(
+                args.out, "MMAE", os.path.basename(args.data),
+                replace=True)
+            merged = multihost.merge_ledger_shards(args.out, prefix)
+            print(json.dumps({"merged": merged}), flush=True)
+        multihost.barrier("merge_done")
 
 
 def main(args):
@@ -59,24 +90,48 @@ def main(args):
     os.makedirs(args.out, exist_ok=True)
     synthetic.write_csv(args.data, num_rows=300, seed=11)
 
-    # launch one worker per simulated host (sequential: this container
-    # has a single CPU; on real hosts these run concurrently)
-    for i in range(args.hosts):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--process-id", str(i), "--hosts", str(args.hosts),
-             "--steps", str(args.steps), "--out", args.out,
-             "--data", args.data],
-            capture_output=True, text=True, cwd=REPO)
-        sys.stdout.write(r.stdout)
-        if r.returncode:
-            sys.stderr.write(r.stderr)
-            raise SystemExit(f"worker {i} failed")
+    if args.distributed:
+        # the real path: concurrent workers + jax.distributed (gloo) —
+        # the same bring-up contract as a DCN slice, coordinator included
+        coord = args.coordinator or "127.0.0.1:47655"
+        cmds = [[sys.executable, os.path.abspath(__file__), "--worker",
+                 "--process-id", str(i), "--hosts", str(args.hosts),
+                 "--steps", str(args.steps), "--out", args.out,
+                 "--data", args.data, "--coordinator", coord]
+                for i in range(args.hosts)]
+        procs = [subprocess.Popen(c, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, text=True,
+                                  cwd=REPO) for c in cmds]
+        for i, p in enumerate(procs):
+            out, err = p.communicate(timeout=600)
+            sys.stdout.write(out)
+            if p.returncode:
+                sys.stderr.write(err)
+                raise SystemExit(f"worker {i} failed")
+    else:
+        # launch one worker per simulated host (sequential: this
+        # container has a single CPU; on real hosts these run
+        # concurrently)
+        for i in range(args.hosts):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--process-id", str(i), "--hosts", str(args.hosts),
+                 "--steps", str(args.steps), "--out", args.out,
+                 "--data", args.data],
+                capture_output=True, text=True, cwd=REPO)
+            sys.stdout.write(r.stdout)
+            if r.returncode:
+                sys.stderr.write(r.stderr)
+                raise SystemExit(f"worker {i} failed")
 
     prefix = engine.get_save_prefix(args.out, "MMAE",
                                     os.path.basename(args.data),
                                     replace=True)
-    merged = multihost.merge_ledger_shards(args.out, prefix)
+    if args.distributed:
+        merged = os.path.join(args.out, prefix + ".csv")
+        assert os.path.exists(merged), merged  # host 0 merged in-job
+    else:
+        merged = multihost.merge_ledger_shards(args.out, prefix)
     import pandas as pd
     df = pd.read_csv(merged, index_col=0)
     n_expected = (len(GRID["layer_sizes"]) * len(GRID["tie_weights"])
@@ -97,5 +152,11 @@ if __name__ == "__main__":
     ap.add_argument("--data", default="/tmp/multihost_demo/data.csv")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="concurrent workers under a real "
+                         "jax.distributed (gloo) coordinator")
+    ap.add_argument("--coordinator", default="",
+                    help="coordinator host:port; set automatically by "
+                         "--distributed, empty = plain subprocess mode")
     a = ap.parse_args()
     worker(a) if a.worker else main(a)

@@ -25,9 +25,12 @@ DATA_AXIS = "data"       # fold/batch data axis
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               axis_names: Tuple[str, str] = (CONFIG_AXIS, DATA_AXIS),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """A 2D (config, data) mesh.  Default: all devices on the config axis
-    (sweeps are config-rich, data is small)."""
-    devices = list(devices if devices is not None else jax.devices())
+    """A 2D (config, data) mesh.  Default: all LOCAL devices on the
+    config axis (sweeps are config-rich, data is small).  Local, not
+    global: in a multi-host job each host trains its own settings slice
+    on its own chips (parallel/multihost.py) — only ledger rows cross
+    DCN, so the training mesh must never span hosts."""
+    devices = list(devices if devices is not None else jax.local_devices())
     if shape is None:
         shape = (len(devices), 1)
     if shape[0] * shape[1] != len(devices):

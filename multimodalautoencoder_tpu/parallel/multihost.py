@@ -41,6 +41,22 @@ def initialize(coordinator_address: Optional[str] = None,
         return 0, 1
 
 
+def barrier(name: str = "mmae_sweep_barrier") -> None:
+    """Block until every process in the distributed job reaches this
+    point (no-op single-process).  Used between 'all hosts wrote their
+    ledger shard' and 'host 0 merges the shards' — the only cross-host
+    ordering the sweep needs, since instance training is embarrassingly
+    parallel (SURVEY §2.9).  Rides the same distributed runtime as
+    ``initialize()``; exercised for real by the 2-process gloo bring-up
+    in tests/test_multihost_distributed.py."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def partition_settings(settings: Sequence[Dict[str, Any]],
                        process_index: int, process_count: int
                        ) -> List[Dict[str, Any]]:
