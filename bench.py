@@ -23,6 +23,15 @@ Baseline: BASELINE.md's target of the full grid in <10 min on a v4-8
 (108 configs / 10 min = 648 configs/hour).  vs_baseline > 1 means this
 single chip beats the whole-v4-8 target end-to-end.
 
+Chip-health canary: the shared tunnel-attached chip intermittently
+drops to ~1/6 throughput for minutes at a time after sustained load
+(observed repeatedly; it recovers after ~5-10 min idle — thermal or
+infra fair-share, not under software control).  Before timing, a tiny
+fixed training workload is measured and the bench waits (up to ~10 min)
+for a healthy rate so the recorded number measures THIS SOFTWARE, not
+the infra weather.  The canary rate is reported in the unit string
+either way.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -31,6 +40,57 @@ import os
 import shutil
 import tempfile
 import time
+
+CANARY_HEALTHY = 80_000          # inst-steps/s; healthy chip does ~220k
+
+
+def _canary_rate():
+    """Instance-steps/s of a tiny fixed Pallas training workload (cached
+    after first compile)."""
+    import jax
+    import numpy as np
+
+    from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    table = ModalityTable.uniform(5, 60, names=("call", "location",
+                                                "screen", "sms",
+                                                "survey"))
+    cfg = MMAEConfig(num_feats=300, layer_sizes=(300, 100),
+                     tie_weights=True,
+                     loss="sigmoid_cross_entropy").validate()
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=20, num_steps=3000,
+                       clip_gradients=False,
+                       optimizer_state_dtype="bfloat16")
+    spec = NoiseSpec.build(cfg, table)
+    X = np.random.default_rng(0).random((800, 300)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X[:600]] * 5, [X[600:]] * 5)
+    hyper = gt.HyperStack.from_settings([{"dropout_prob": 1.0}] * 12,
+                                        cfg, tcfg)
+
+    def run(key):
+        _, l = tk.train_grid_pallas(jax.random.PRNGKey(key), cfg, tcfg,
+                                    spec, hyper, folded, num_steps=3000)
+        np.asarray(l)
+
+    run(0)                                   # compile / cache load
+    t0 = time.perf_counter()
+    run(1)
+    return 60 * 3000 / (time.perf_counter() - t0)
+
+
+def _wait_for_healthy_chip(max_wait_s: float = 600.0):
+    """Measure the canary; if degraded, idle-and-retry until healthy or
+    the wait budget runs out.  Returns the last canary rate."""
+    deadline = time.monotonic() + max_wait_s
+    rate = _canary_rate()
+    while rate < CANARY_HEALTHY and time.monotonic() < deadline:
+        time.sleep(75)                       # degraded mode needs idle
+        rate = _canary_rate()
+    return rate
 
 
 def main():
@@ -62,6 +122,8 @@ def main():
                          suppress_output=True, normalize_and_fill=True,
                          fill_gaps_with=-1.0)
 
+        canary = _wait_for_healthy_chip()
+
         t0 = time.perf_counter()
         sweep = MMAESweep(
             unsup, sup,
@@ -74,12 +136,16 @@ def main():
 
         configs_per_hour = sweep.num_settings / (wall / 3600.0)
         baseline_configs_per_hour = 648.0   # 108 configs / 10 min target
+        ph = sweep.phase_seconds
         print(json.dumps({
             "metric": "acii2017_full_sweep_configs_per_hour",
             "value": round(configs_per_hour, 2),
             "unit": ("configs/hour, MEASURED end-to-end MMAESweep.run() "
                      "(108cfg x 5fold x 15k steps, probe+ledger on; "
-                     f"wall {wall:.1f}s)"),
+                     f"wall {wall:.1f}s = train {ph['train']:.0f}s "
+                     f"+ probe {ph['probe']:.0f}s + other "
+                     f"{wall - ph['train'] - ph['probe']:.0f}s; "
+                     f"chip canary {canary / 1000:.0f}k inst-steps/s)"),
             "vs_baseline": round(
                 configs_per_hour / baseline_configs_per_hour, 3),
         }))

@@ -6,13 +6,20 @@ and keeping the best (acc AND auc) per label on val / noisy-val /
 clean-val (autoencoder_wrapper.py:202-284).  Pulling every (config,
 fold, dataset) embedding through the device->host tunnel and running
 ~1000 libsvm fits serializes the sweep, so this module computes the
-probe ON DEVICE as a jitted RBF kernel-ridge classifier (least-squares
-SVM): one Gram matrix per (config, fold), one Cholesky solve per
-(label, C, gamma), hard sign predictions, the same best-(acc AND auc)
-tracking.  Kernel ridge with lambda = 1/(2C) is the least-squares
-analog of SVC(C) — probe *values* are distributionally comparable, not
-bitwise equal, to libsvm's (PARITY.md); ``MMAESweep(probe="svm")`` keeps
-the faithful sklearn path.
+probe ON DEVICE as a jitted RBF ridge classifier (least-squares SVM)
+with the same best-(acc AND auc) tracking, in one of two modes:
+
+- ``rff_dim=D`` (the sweep's default, D=512): the RBF kernel is
+  approximated by D random Fourier features (Rahimi & Recht 2007) and
+  the primal (D, D) ridge system is solved — O(T D^2) per label/gamma.
+- ``rff_dim=None`` ('device-exact'): the exact (T, T) kernel-ridge
+  dual — one Gram matrix per (config, fold), one Cholesky per
+  (label, C, gamma) — ~25x more FLOPs at reference scale.
+
+Ridge with lambda = 1/(2C) is the least-squares analog of SVC(C) —
+probe *values* are distributionally comparable, not bitwise equal, to
+libsvm's (PARITY.md); ``MMAESweep(probe="svm")`` keeps the faithful
+sklearn path.
 
 Everything is batched: folds and labels vmapped, configs sequential
 under ``lax.map`` (one config's K-batched Gram work already saturates
@@ -30,6 +37,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multimodalautoencoder_tpu.config import MMAEConfig
 from multimodalautoencoder_tpu.models import mmae
@@ -50,7 +58,8 @@ def _sqdist(a: Array, b: Array) -> Array:
 
 def _probe_instance(params, act_id, tx, tn, ty, vx, vn, vy, vnoisy, rng,
                     *, cfg: MMAEConfig, Cs: Tuple[float, ...],
-                    gammas: Tuple[float, ...]):
+                    gammas: Tuple[float, ...],
+                    rff_dim: Optional[int] = None):
     """One (config, fold) probe: -> (L, 3, 2) best [acc, auc] for the
     val / noisy-val / clean-val slices.
 
@@ -60,8 +69,14 @@ def _probe_instance(params, act_id, tx, tn, ty, vx, vn, vy, vnoisy, rng,
     metrics only when BOTH acc and auc beat the incumbent.  The VAE
     embeds with sampled z, as the reference's probe does (:212-226,
     multimodal_autoencoder.py:372-375).
+
+    ``rff_dim=None`` solves the exact (T, T) kernel-ridge system;
+    ``rff_dim=D`` uses D random Fourier features (Rahimi & Recht 2007)
+    of the same RBF kernel and solves the (D, D) primal ridge instead —
+    O(T*D^2) per label/gamma versus O(T^3), ~25x fewer FLOPs at
+    reference scale with the same gamma/C grid semantics.
     """
-    k_tr, k_va = jax.random.split(rng)
+    k_tr, k_va, k_rff = jax.random.split(rng, 3)
     emb_tr = mmae.forward(params, cfg, tx, rng=k_tr, keep_prob=1.0,
                           train=False, sample=True,
                           act_id=act_id).embedding
@@ -71,8 +86,24 @@ def _probe_instance(params, act_id, tx, tn, ty, vx, vn, vy, vnoisy, rng,
     T, V = tx.shape[0], vx.shape[0]
     t_valid = jnp.arange(T) < tn
     v_valid = jnp.arange(V) < vn
-    d2_tr = _sqdist(emb_tr, emb_tr)
-    d2_va = _sqdist(emb_va, emb_tr)
+    if rff_dim is None:
+        d2_tr = _sqdist(emb_tr, emb_tr)
+        d2_va = _sqdist(emb_va, emb_tr)
+        feats = None
+    else:
+        # one (E, D) direction draw shared by all gammas (scaled per
+        # gamma): phi_g(x) = sqrt(2/D) cos(sqrt(2 g) x W + b)
+        E = emb_tr.shape[1]
+        kw, kb = jax.random.split(k_rff)
+        W = jax.random.normal(kw, (E, rff_dim), jnp.float32)
+        b = jax.random.uniform(kb, (rff_dim,), jnp.float32,
+                               0.0, 2.0 * np.pi)
+        scale = float(np.sqrt(2.0 / rff_dim))
+        proj_tr = jnp.dot(emb_tr, W, preferred_element_type=jnp.float32)
+        proj_va = jnp.dot(emb_va, W, preferred_element_type=jnp.float32)
+        feats = [(scale * jnp.cos(np.sqrt(2.0 * g) * proj_tr + b),
+                  scale * jnp.cos(np.sqrt(2.0 * g) * proj_va + b))
+                 for g in gammas]
 
     def per_label(y_tr, y_va):
         m = (t_valid & jnp.isfinite(y_tr)).astype(jnp.float32)
@@ -84,14 +115,28 @@ def _probe_instance(params, act_id, tx, tn, ty, vx, vn, vy, vnoisy, rng,
                   vm & vnoisy,
                   vm & ~vnoisy)
         best = jnp.zeros((3, 2), jnp.float32)
-        for g in gammas:
-            k_tr_g = jnp.exp(-g * d2_tr) * (m[:, None] * m[None, :])
-            k_va_g = jnp.exp(-g * d2_va)
+        for gi, g in enumerate(gammas):
+            if rff_dim is None:
+                k_tr_g = jnp.exp(-g * d2_tr) * (m[:, None] * m[None, :])
+                k_va_g = jnp.exp(-g * d2_va)
+            else:
+                ph_tr, ph_va = feats[gi]
+                ph_m = ph_tr * m[:, None]
+                gram = jnp.dot(ph_m.T, ph_m,
+                               preferred_element_type=jnp.float32)
+                rhs = jnp.dot(ph_m.T, ys,
+                              preferred_element_type=jnp.float32)
             for c_reg in Cs:
                 lam = 1.0 / (2.0 * c_reg)
-                a = k_tr_g + jnp.diag((1.0 - m) + lam * m)
-                alpha = jax.scipy.linalg.solve(a, ys, assume_a="pos")
-                preds = (jnp.dot(k_va_g, alpha) > 0).astype(jnp.float32)
+                if rff_dim is None:
+                    a = k_tr_g + jnp.diag((1.0 - m) + lam * m)
+                    alpha = jax.scipy.linalg.solve(a, ys, assume_a="pos")
+                    scores = jnp.dot(k_va_g, alpha)
+                else:
+                    a = gram + lam * jnp.eye(rff_dim, dtype=jnp.float32)
+                    beta = jax.scipy.linalg.solve(a, rhs, assume_a="pos")
+                    scores = jnp.dot(ph_va, beta)
+                preds = (scores > 0).astype(jnp.float32)
                 cand = []
                 for sl in slices:
                     acc = metrics_lib.binary_accuracy(preds, y_va, sl)
@@ -109,16 +154,19 @@ def _probe_instance(params, act_id, tx, tn, ty, vx, vn, vy, vnoisy, rng,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "Cs", "gammas", "num_labels"))
+                   static_argnames=("cfg", "Cs", "gammas", "num_labels",
+                                    "rff_dim"))
 def probe_grid(rng, params_stacked, act_ids, folded, *, cfg: MMAEConfig,
                Cs: Tuple[float, ...], gammas: Tuple[float, ...],
-               num_labels: int):
+               num_labels: int, rff_dim: Optional[int] = None):
     """Probe every (config, fold) cell of a trained bucket.
 
     ``params_stacked``: (C, K, ...) pytree from the grid trainer;
     ``folded``: the supervised classification FoldedData (train/val
     labels + optional val_noisy flags).  Returns (C, K, L, 3, 2)
-    [val, noisy, clean] x [acc, auc] best metrics.
+    [val, noisy, clean] x [acc, auc] best metrics.  ``rff_dim``: None =
+    exact (T, T) kernel ridge; D = D-feature random-Fourier primal
+    (~25x fewer FLOPs, see _probe_instance).
     """
     cfg = cfg.validate()
     C = act_ids.shape[0]
@@ -136,7 +184,8 @@ def probe_grid(rng, params_stacked, act_ids, folded, *, cfg: MMAEConfig,
 
     def per_fold(p, act_id, tx, tn, tyf, vx, vn, vyf, vns, k):
         return _probe_instance(p, act_id, tx, tn, tyf, vx, vn, vyf, vns,
-                               k, cfg=cfg, Cs=Cs, gammas=gammas)
+                               k, cfg=cfg, Cs=Cs, gammas=gammas,
+                               rff_dim=rff_dim)
 
     def per_config(args):
         p_c, act_id, keys_c = args

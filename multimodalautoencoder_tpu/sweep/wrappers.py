@@ -73,6 +73,7 @@ class MMAESweep:
                  clip_gradients: bool = False,
                  labels_to_predict: Optional[Sequence[str]] = None,
                  probe: Optional[str] = "device",
+                 probe_rff_dim: int = 512,
                  svm_Cs: Sequence[float] = (1.0, 10.0, 100.0),
                  svm_gammas: Sequence[float] = (0.01, 0.001),
                  mesh=None, save_results_every_nth: int = 1,
@@ -81,11 +82,14 @@ class MMAESweep:
                  backend: str = "auto",
                  optimizers: Optional[Sequence[str]] = None,
                  optimizer_state_dtype: str = "bfloat16"):
-        """``probe``: 'device' (default) scores embedding quality with the
-        jitted on-device RBF kernel-ridge probe (sweep/probe.py) — same
-        ledger columns, no device->host embedding pulls; 'svm' is the
-        faithful host-side sklearn SVC grid the reference runs
-        (autoencoder_wrapper.py:202-284); None disables.
+        """``probe``: 'device' (default) scores embedding quality with
+        the jitted on-device random-Fourier RBF ridge probe
+        (sweep/probe.py, ``probe_rff_dim`` features) — same ledger
+        columns, no device->host embedding pulls; 'device-exact' solves
+        the exact (T, T) RBF kernel-ridge system instead (~25x more
+        probe FLOPs); 'svm' is the faithful host-side sklearn SVC grid
+        the reference runs (autoencoder_wrapper.py:202-284); None
+        disables.
         ``process_shard``: optional (process_index, process_count) for
         multi-host DCN scale-out — this host sweeps only its round-robin
         slice of the grid and writes a shard ledger
@@ -102,7 +106,15 @@ class MMAESweep:
         self.save_best_params = save_best_params
         self.backend = backend
         self._best_saved = None   # (loss, setting, host params)
+        # per-phase wall-clock, accumulated across buckets by
+        # sweep_all_parameters ('train' = grid training incl. one-time
+        # compiles + loss materialization; 'probe' = embedding-quality
+        # probe incl. metric pulls) — the observability the reference
+        # lacks entirely (it prints only whole-setting ETAs,
+        # generic_wrapper.py:305-315)
+        self.phase_seconds = {"train": 0.0, "probe": 0.0}
         self.probe = probe if classification_data_loader is not None else None
+        self.probe_rff_dim = int(probe_rff_dim)
         self.svm_Cs = svm_Cs
         self.svm_gammas = svm_gammas
         self.labels = list(labels_to_predict or LABELS_TO_PREDICT)
@@ -178,7 +190,8 @@ class MMAESweep:
         if self.cls_loader is not None and self.probe == "svm":
             self._cls_folds = [
                 self._cls_fold_arrays(f) for f in range(num_cross_folds)]
-        elif self.cls_loader is not None and self.probe == "device":
+        elif (self.cls_loader is not None
+              and self.probe in ("device", "device-exact")):
             has_noisy = "logistics_noisy" in self.cls_loader.df.columns
             self._cls_folded = gt.FoldedData.from_loader(
                 self.cls_loader, num_cross_folds, supervised=True,
@@ -310,22 +323,28 @@ class MMAESweep:
             rows.append(row)
         return rows
 
-    def _device_probe_bucket(self, params, cfg, hyper, num_configs: int,
+    def _device_probe_launch(self, params, cfg, hyper, num_configs: int,
                              rng):
-        """On-device kernel-ridge probe (sweep/probe.py): one jitted call
-        per bucket, only the (C, K, L, 3, 2) metric tensor crosses the
-        device->host tunnel."""
+        """On-device probe (sweep/probe.py): one jitted call per bucket,
+        only the (C, K, L, 3, 2) metric tensor crosses the device->host
+        tunnel.  probe='device' -> random-Fourier primal ridge (fast
+        default); probe='device-exact' -> exact (T, T) kernel ridge.
+        Returns the DEVICE result; _device_probe_rows materializes."""
         from multimodalautoencoder_tpu.sweep import probe as probe_lib
 
         n_labels = min(len(self.labels),
                        int(self._cls_folded.train_y.shape[-1])
                        if self._cls_folded.train_y.ndim == 3 else 1)
-        best = probe_lib.probe_grid(
+        return probe_lib.probe_grid(
             rng, params, hyper.act_id[:num_configs], self._cls_folded,
             cfg=cfg, Cs=tuple(float(c) for c in self.svm_Cs),
             gammas=tuple(float(g) for g in self.svm_gammas),
-            num_labels=n_labels)
-        best = np.asarray(best)                       # (C, K, L, 3, 2)
+            num_labels=n_labels,
+            rff_dim=None if self.probe == "device-exact"
+            else self.probe_rff_dim)
+
+    def _device_probe_rows(self, best, num_configs: int):
+        """Host rows from a materialized (C, K, L, 3, 2) probe tensor."""
         L = len(self.labels)
         full = np.full(best.shape[:2] + (L, 3, 2), np.nan)
         full[:, :, :best.shape[2]] = best
@@ -350,6 +369,81 @@ class MMAESweep:
             best[prefix + "auc"] = auc
 
     # ------------------------------------------------------------------
+    def _launch_bucket(self, bi: int, bucket):
+        """Dispatch one bucket's training (+ device probe) WITHOUT
+        materializing results: JAX queues the work on the device and
+        returns immediately, so bucket N's device compute overlaps
+        bucket N+1's host-side tracing/executable loading — the sweep is
+        a two-stage software pipeline over buckets, and the probe's
+        latency hides under the next bucket's training."""
+        t0 = time.time()
+        cfg = self._cfg_for_bucket(bucket[0])
+        tcfg = self.tcfg
+        if "optimizer" in bucket[0]:
+            tcfg = tcfg.replace(optimizer=str(bucket[0]["optimizer"]))
+        hyper = gt.HyperStack.from_settings(bucket, cfg, tcfg)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
+        params, losses = gt.train_grid_sharded(
+            self.mesh, rng, cfg, tcfg, self.spec, hyper,
+            self.folded, backend=self.backend)
+        probe_dev = None
+        if (self.probe in ("device", "device-exact")
+                and self._cls_folded is not None):
+            probe_dev = self._device_probe_launch(
+                params, cfg, hyper, len(bucket),
+                jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
+                                   bi))
+        self.phase_seconds["train"] += time.time() - t0
+        return {"bi": bi, "bucket": bucket, "t0": t0, "cfg": cfg,
+                "hyper": hyper, "params": params, "losses": losses,
+                "probe": probe_dev}
+
+    def _finalize_bucket(self, st, est, num_buckets: int) -> None:
+        """Materialize one launched bucket's results and write its
+        ledger rows.  Phase accounting: waiting on the training losses
+        counts as 'train'; everything probe-side (device wait or the
+        host sklearn grid) counts as 'probe'."""
+        bucket = st["bucket"]
+        t1 = time.time()
+        losses = np.asarray(st["losses"])            # (C, K)
+        self.phase_seconds["train"] += time.time() - t1
+
+        t2 = time.time()
+        probe_rows = None
+        if self.probe == "svm" and self._cls_folds is not None:
+            probe_rows = self._svm_probe_bucket(
+                st["params"], st["cfg"], st["hyper"], len(bucket))
+        elif st["probe"] is not None:
+            probe_rows = self._device_probe_rows(
+                np.asarray(st["probe"]), len(bucket))
+        self.phase_seconds["probe"] += time.time() - t2
+
+        if self.save_best_params:
+            mean_losses = losses.mean(axis=1)
+            c_best = int(np.argmin(mean_losses))
+            if (self._best_saved is None
+                    or mean_losses[c_best] < self._best_saved[0]):
+                # fold-0 slice only; pull to host (the tunnel's
+                # device->host path is slow, so only the winner moves)
+                host = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a[c_best, 0]), st["params"])
+                self._best_saved = (float(mean_losses[c_best]),
+                                    dict(bucket[c_best]), host, st["cfg"])
+
+        bucket_secs = time.time() - st["t0"]
+        for c, setting in enumerate(bucket):
+            row = dict(setting)
+            row[self.optimize_for] = float(np.mean(losses[c]))
+            if probe_rows is not None:
+                row.update(probe_rows[c])
+            row["time_per_setting_s"] = bucket_secs / len(bucket)
+            self.ledger.append(row)
+        est.record(bucket_secs, batch=len(bucket))
+        if self.verbose:
+            print(f"bucket {st['bi'] + 1}/{num_buckets} "
+                  f"({len(bucket)} settings x {self.num_cross_folds} "
+                  f"folds): {bucket_secs:.1f}s; {est.summary()}")
+
     def sweep_all_parameters(self) -> None:
         pending = [s for s in self.list_of_param_settings
                    if not (self.ledger.started_from
@@ -357,54 +451,14 @@ class MMAESweep:
         buckets = grid_lib.bucket_settings(pending)
         est = engine.TimeEstimator(self.num_settings,
                                    self.ledger.started_from)
+        inflight = None
         for bi, (key, bucket) in enumerate(buckets):
-            t0 = time.time()
-            cfg = self._cfg_for_bucket(bucket[0])
-            tcfg = self.tcfg
-            if "optimizer" in bucket[0]:
-                tcfg = tcfg.replace(optimizer=str(bucket[0]["optimizer"]))
-            hyper = gt.HyperStack.from_settings(bucket, cfg, tcfg)
-            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
-            params, losses = gt.train_grid_sharded(
-                self.mesh, rng, cfg, tcfg, self.spec, hyper,
-                self.folded, backend=self.backend)
-            losses = np.asarray(losses)            # (C, K)
-
-            probe_rows = None
-            if self.probe == "svm" and self._cls_folds is not None:
-                probe_rows = self._svm_probe_bucket(params, cfg, hyper,
-                                                    len(bucket))
-            elif self.probe == "device" and self._cls_folded is not None:
-                probe_rows = self._device_probe_bucket(
-                    params, cfg, hyper, len(bucket),
-                    jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
-                                       bi))
-
-            if self.save_best_params:
-                mean_losses = losses.mean(axis=1)
-                c_best = int(np.argmin(mean_losses))
-                if (self._best_saved is None
-                        or mean_losses[c_best] < self._best_saved[0]):
-                    # fold-0 slice only; pull to host (the tunnel's
-                    # device->host path is slow, so only the winner moves)
-                    host = jax.tree_util.tree_map(
-                        lambda a: np.asarray(a[c_best, 0]), params)
-                    self._best_saved = (float(mean_losses[c_best]),
-                                        dict(bucket[c_best]), host, cfg)
-
-            bucket_secs = time.time() - t0
-            for c, setting in enumerate(bucket):
-                row = dict(setting)
-                row[self.optimize_for] = float(np.mean(losses[c]))
-                if probe_rows is not None:
-                    row.update(probe_rows[c])
-                row["time_per_setting_s"] = bucket_secs / len(bucket)
-                self.ledger.append(row)
-            est.record(time.time() - t0, batch=len(bucket))
-            if self.verbose:
-                print(f"bucket {bi + 1}/{len(buckets)} "
-                      f"({len(bucket)} settings x {self.num_cross_folds} "
-                      f"folds): {time.time() - t0:.1f}s; {est.summary()}")
+            st = self._launch_bucket(bi, bucket)
+            if inflight is not None:
+                self._finalize_bucket(inflight, est, len(buckets))
+            inflight = st
+        if inflight is not None:
+            self._finalize_bucket(inflight, est, len(buckets))
         self.ledger.flush()
         if self.save_best_params and self._best_saved is not None:
             from multimodalautoencoder_tpu.train import checkpoint as ck
@@ -508,6 +562,10 @@ class MMAEClassificationSweep:
             enable_persistent_cache
         enable_persistent_cache()
         self.backend = backend
+        # per-phase wall-clock accumulated across buckets ('train' =
+        # both training phases + prediction materialization; 'metrics' =
+        # the host-side metric battery + ledger rows)
+        self.phase_seconds = {"train": 0.0, "metrics": 0.0}
         self.data_loader = data_loader
         self.cls_loader = classification_data_loader
         self.num_cross_folds = num_cross_folds
@@ -685,8 +743,11 @@ class MMAEClassificationSweep:
                 backend=self.backend)
             losses = np.asarray(losses)[:C]
             preds = np.asarray(preds)[:C]
+            t_train = time.time() - t0
+            self.phase_seconds["train"] += t_train
 
             metric_rows = self._metric_rows(preds, len(bucket))
+            self.phase_seconds["metrics"] += time.time() - t0 - t_train
             bucket_secs = time.time() - t0
             for c, setting in enumerate(bucket):
                 row = dict(setting)
@@ -697,8 +758,8 @@ class MMAEClassificationSweep:
             est.record(time.time() - t0, batch=len(bucket))
             if self.verbose:
                 print(f"bucket {bi + 1}/{len(buckets)} "
-                      f"({len(bucket)} settings): {time.time() - t0:.1f}s; "
-                      f"{est.summary()}")
+                      f"({len(bucket)} settings): {time.time() - t0:.1f}s "
+                      f"(train {t_train:.1f}s); {est.summary()}")
         self.ledger.flush()
 
     def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:

@@ -85,6 +85,9 @@ def test_mmae_sweep_end_to_end(loaders, tmp_path):
     assert float(best["val_sigmoid_cross_entropy"]) == pytest.approx(
         df["val_sigmoid_cross_entropy"].min(), rel=1e-6)
     assert "svm_val_acc" in extras
+    # phase accounting covers the run (train + probe both nonzero)
+    assert sweep.phase_seconds["train"] > 0
+    assert sweep.phase_seconds["probe"] > 0
 
 
 def test_mmae_sweep_resume_skips_done(loaders, tmp_path):
@@ -196,9 +199,10 @@ def test_mmae_sweep_swept_optimizer(loaders, tmp_path):
         assert parsed["optimizer"] == row["optimizer"]
 
 
-def test_device_probe_separates(tmp_path):
-    """The on-device kernel-ridge probe must score a linearly separable
-    embedding near-perfectly and an uninformative one near chance."""
+@pytest.mark.parametrize("rff_dim", [None, 256])
+def test_device_probe_separates(tmp_path, rff_dim):
+    """The on-device probe (exact kernel ridge AND the random-Fourier
+    primal) must score a linearly separable embedding near-perfectly."""
     import jax
     import jax.numpy as jnp
 
@@ -227,7 +231,8 @@ def test_device_probe_separates(tmp_path):
     best = probe_lib.probe_grid(
         jax.random.PRNGKey(1), params,
         jnp.zeros((1,), jnp.int32), folded, cfg=cfg,
-        Cs=(1.0, 10.0), gammas=(0.1, 0.01), num_labels=1)
+        Cs=(1.0, 10.0), gammas=(0.1, 0.01), num_labels=1,
+        rff_dim=rff_dim)
     best = np.asarray(best)        # (C=1, K=1, L=1, 3, 2)
     assert best.shape == (1, 1, 1, 3, 2)
     acc = best[0, 0, 0, 0, 0]
