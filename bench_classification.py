@@ -37,6 +37,14 @@ def _materialize(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+def _wait_for_healthy_chip():
+    """Chip-health gate shared with bench.py (the chip intermittently
+    drops to ~1/6 throughput after sustained load; see bench.py)."""
+    import bench
+
+    return bench._wait_for_healthy_chip()
+
+
 def main():
     import jax
 
@@ -82,6 +90,8 @@ def main():
         sup = DataLoader(path, supervised=True, cross_validation=True,
                          suppress_output=True, normalize_and_fill=True,
                          fill_gaps_with=-1.0)
+
+        canary = _wait_for_healthy_chip()
 
         # ---- 1) full-scale validation bucket through the real sweep ----
         t0 = time.perf_counter()
@@ -162,7 +172,8 @@ def main():
                      "measurement of all 36 shape buckets; validation "
                      f"bucket (16cfg x 5fold x 15k+15k, full sweep "
                      f"surface) measured {bucket_cfg_hr:.0f} cfg/hr "
-                     f"({bucket_wall:.0f}s)"),
+                     f"({bucket_wall:.0f}s); chip canary "
+                     f"{canary / 1000:.0f}k inst-steps/s"),
             "vs_baseline": round(total_cfg_hr / baseline, 3),
         }))
     finally:

@@ -41,17 +41,33 @@ def initialize(coordinator_address: Optional[str] = None,
         return 0, 1
 
 
-def barrier(name: str = "mmae_sweep_barrier") -> None:
+def barrier(name: str = "mmae_sweep_barrier",
+            timeout_ms: int = 1_800_000) -> None:
     """Block until every process in the distributed job reaches this
     point (no-op single-process).  Used between 'all hosts wrote their
     ledger shard' and 'host 0 merges the shards' — the only cross-host
     ordering the sweep needs, since instance training is embarrassingly
-    parallel (SURVEY §2.9).  Rides the same distributed runtime as
-    ``initialize()``; exercised for real by the 2-process gloo bring-up
-    in tests/test_multihost_distributed.py."""
+    parallel (SURVEY §2.9).
+
+    Implemented on the coordination service's barrier primitive
+    (``wait_at_barrier``), NOT a device collective: hosts reach this
+    point minutes apart (they finish their sweep shards at different
+    times), and a first device collective (sync_global_devices) would
+    lazily initialize the gloo/ICI context with its own short (~30 s)
+    rendezvous deadline — measured to fail under that skew.  The
+    coordination-service barrier tolerates ``timeout_ms`` (default
+    30 min) of skew.  Exercised for real by the 2-process bring-up in
+    tests/test_multihost.py."""
     import jax
 
-    if jax.process_count() > 1:
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    else:  # pragma: no cover - no coordination client (unusual)
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)

@@ -68,15 +68,26 @@ def test_real_distributed_two_process_sweep(tmp_path):
     # 1 CPU device per worker (the parent suite's 8-virtual-device
     # XLA_FLAGS would give 16 global devices across the job — heavier
     # and irrelevant to the bring-up under test)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
     env = {**os.environ, "XLA_FLAGS": ""}
-    r = subprocess.run(
-        [sys.executable, script, "--hosts", "2", "--steps", "30",
-         "--distributed", "--coordinator", f"127.0.0.1:{port}",
-         "--out", str(tmp_path / "out"),
-         "--data", str(tmp_path / "out" / "data.csv")],
-        capture_output=True, text=True, cwd=repo, timeout=540, env=env)
-    assert r.returncode == 0, r.stdout + "\n" + r.stderr
-    assert "merged 2 shards" in r.stdout, r.stdout
+    last = None
+    # one retry: on a single-CPU CI box the 2-process gloo bring-up can
+    # time out under load from the rest of the suite — a contention
+    # artifact, not a code path difference (the second attempt runs
+    # against a quieter machine state)
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        r = subprocess.run(
+            [sys.executable, script, "--hosts", "2", "--steps", "30",
+             "--distributed", "--coordinator", f"127.0.0.1:{port}",
+             "--out", str(tmp_path / f"out{attempt}"),
+             "--data", str(tmp_path / f"out{attempt}" / "data.csv")],
+            capture_output=True, text=True, cwd=repo, timeout=540,
+            env=env)
+        last = r
+        if r.returncode == 0 and "merged 2 shards" in r.stdout:
+            return
+    raise AssertionError(
+        f"distributed bring-up failed twice: rc={last.returncode}\n"
+        f"stdout:\n{last.stdout}\nstderr:\n{last.stderr}")

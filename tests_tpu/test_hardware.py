@@ -221,3 +221,41 @@ def test_two_phase_kernel_learns(variational):
     preds = np.asarray(preds)[0, 0]            # (val, 2)
     acc = (preds == Y[300:]).mean()
     assert acc > 0.7, f"phase-2 accuracy {acc:.2f} not above chance"
+
+
+@requires_tpu
+def test_probe_rff_agrees_with_exact():
+    """The RFF primal probe (sweep default) and the exact kernel-ridge
+    dual must agree on a separable embedding: both near-perfect, within
+    a 0.1 band of each other on acc AND auc (distributional parity,
+    PARITY.md)."""
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.models import mmae
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    from multimodalautoencoder_tpu.sweep import probe as probe_lib
+
+    rng = np.random.default_rng(1)
+    n, f = 200, 12
+    y = rng.integers(0, 2, size=2 * n).astype(float)
+    X = rng.normal(size=(2 * n, f)).astype(np.float32) * 0.1
+    X[:, 0] = y * 2.0 - 1.0 + rng.normal(size=2 * n) * 0.05
+    folded = gt.FoldedData.from_ragged(
+        [X[:n]], [X[n:]], train_y_list=[y[:n, None]],
+        val_y_list=[y[n:, None]])
+    cfg = MMAEConfig(num_feats=f, layer_sizes=(8, 6),
+                     tie_weights=False).validate()
+    params = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(
+        jax.random.split(jax.random.PRNGKey(0), 1).reshape(1, 1, 2))
+
+    out = {}
+    for name, rff in (("exact", None), ("rff", 512)):
+        best = np.asarray(probe_lib.probe_grid(
+            jax.random.PRNGKey(2), params, jnp.zeros((1,), jnp.int32),
+            folded, cfg=cfg, Cs=(1.0, 10.0), gammas=(0.1, 0.01),
+            num_labels=1, rff_dim=rff))
+        out[name] = best[0, 0, 0, 0]           # (acc, auc) on val
+    for name in out:
+        assert out[name][0] > 0.9 and out[name][1] > 0.9, (name, out)
+    assert np.abs(out["exact"] - out["rff"]).max() < 0.1, out
