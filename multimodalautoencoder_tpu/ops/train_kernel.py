@@ -252,19 +252,18 @@ def _train_kernel(
         m[...] = jnp.zeros(m.shape, m.dtype)
         v[...] = jnp.zeros(v.shape, v.dtype)
     if stream_big:
-        # zero the streamed W1/W4 moment buffers tile by tile
+        # zero the streamed W1/W4 moment buffers tile by tile; HBM
+        # layout is (N, ntiles, rb, CH) — each tile CONTIGUOUS, so the
+        # per-step stream DMAs run at full burst efficiency instead of
+        # rb strided 2*CH-byte rows
         mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
-        for hbuf, rows in ((m1h, w1s.shape[0]), (v1h, w1s.shape[0]),
-                           (m4h, w4s.shape[0]), (v4h, w4s.shape[0])):
-            rb = _row_block(rows)
-            for r in range(rows // rb):
-                for c in range(hbuf.shape[2] // CH):
-                    cp = pltpu.make_async_copy(
-                        mchunk.at[0, pl.ds(0, rb), :],
-                        hbuf.at[i, pl.ds(r * rb, rb),
-                                pl.ds(c * CH, CH)], psem)
-                    cp.start()
-                    cp.wait()
+        for hbuf in (m1h, v1h, m4h, v4h):
+            rb = hbuf.shape[2]
+            for t in range(hbuf.shape[1]):
+                cp = pltpu.make_async_copy(
+                    mchunk.at[0, pl.ds(0, rb), :], hbuf.at[i, t], psem)
+                cp.start()
+                cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     row_mask = jnp.where(
@@ -405,7 +404,9 @@ def _train_kernel(
             # later, so each semaphore has at most one DMA outstanding.
             # Tiles are (rb, CH) — rb <= CROWS row blocks, not full
             # columns — to keep the chunk buffers AND the f32 m/v/g
-            # temporaries inside the scoped-VMEM budget (_row_block).
+            # temporaries inside the scoped-VMEM budget (_row_block);
+            # the HBM side is laid out (ntiles, rb, CH) so every tile
+            # transfer is one contiguous burst.
             rows = w_scr.shape[0]
             rb = _row_block(rows)
             tiles = [(r, c) for r in range(rows // rb)
@@ -413,29 +414,23 @@ def _train_kernel(
             nt = len(tiles)
 
             def in_copies(t, s):
-                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            mh.at[i, pl.ds(r * rb, rb),
-                                  pl.ds(c * CH, CH)],
+                            mh.at[i, t],
                             mchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            vh.at[i, pl.ds(r * rb, rb),
-                                  pl.ds(c * CH, CH)],
+                            vh.at[i, t],
                             vchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s + 1]))
 
             def out_copies(t, s):
-                r, c = tiles[t]
                 return (pltpu.make_async_copy(
                             mchunk.at[s, pl.ds(0, rb), :],
-                            mh.at[i, pl.ds(r * rb, rb),
-                                  pl.ds(c * CH, CH)],
+                            mh.at[i, t],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
                             vchunk.at[s, pl.ds(0, rb), :],
-                            vh.at[i, pl.ds(r * rb, rb),
-                                  pl.ds(c * CH, CH)],
+                            vh.at[i, t],
                             sems.at[2 * s + 1]))
 
             for cp in in_copies(0, 0):
@@ -749,12 +744,18 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # streamed W1/W4 Adam moments live in HBM in TILE layout
+        # (N, ntiles, rb, CH): contiguous per-tile bursts for the
+        # two-slot stream (the buffers are kernel-internal state; the
+        # caller drops them, so the layout is invisible outside)
         out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
                    for a in (w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)]
-        + ([jax.ShapeDtypeStruct((N, Fp, H1p), state_dt),
-            jax.ShapeDtypeStruct((N, Fp, H1p), state_dt),
-            jax.ShapeDtypeStruct((N, H1p, Fp), state_dt),
-            jax.ShapeDtypeStruct((N, H1p, Fp), state_dt)]
+        + ([jax.ShapeDtypeStruct(
+                (N, (Fp // _row_block(Fp)) * (H1p // CH),
+                 _row_block(Fp), CH), state_dt)] * 2
+           + [jax.ShapeDtypeStruct(
+                (N, (H1p // _row_block(H1p)) * (Fp // CH),
+                 _row_block(H1p), CH), state_dt)] * 2
            if stream_big else
            [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 4),
         # eager DMA execution: the default "on_wait" semaphore-driven
@@ -977,18 +978,15 @@ def _cls_train_kernel(
         m[...] = jnp.zeros(m.shape, m.dtype)
         v[...] = jnp.zeros(v.shape, v.dtype)
     if stream_big:
+        # (N, ntiles, rb, CH) tile layout — see the phase-1 kernel
         mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
-        rows = w1s.shape[0]
-        rb = _row_block(rows)
         for hbuf in (m1h, v1h):
-            for r in range(rows // rb):
-                for c in range(hbuf.shape[2] // CH):
-                    cp = pltpu.make_async_copy(
-                        mchunk.at[0, pl.ds(0, rb), :],
-                        hbuf.at[i, pl.ds(r * rb, rb),
-                                pl.ds(c * CH, CH)], psem)
-                    cp.start()
-                    cp.wait()
+            rb = hbuf.shape[2]
+            for t in range(hbuf.shape[1]):
+                cp = pltpu.make_async_copy(
+                    mchunk.at[0, pl.ds(0, rb), :], hbuf.at[i, t], psem)
+                cp.start()
+                cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     labelmask = labelmask_ref[0, :]                     # (Lp,)
@@ -1146,7 +1144,8 @@ def _cls_train_kernel(
         def adam_streamed_w1():
             # tiled Adam for W1, two-slot pipeline (same scheme as the
             # phase-1 kernel's adam_streamed; W1 carries no L2 here).
-            # (rb, CH) tiles, not full columns — see _row_block.
+            # (rb, CH) tiles, not full columns — see _row_block; the
+            # HBM side is (ntiles, rb, CH) for contiguous tile bursts.
             rows = w1s.shape[0]
             rb = _row_block(rows)
             tiles = [(r, c) for r in range(rows // rb)
@@ -1154,29 +1153,23 @@ def _cls_train_kernel(
             nt = len(tiles)
 
             def in_copies(t, s):
-                r, c = tiles[t]
                 return (pltpu.make_async_copy(
-                            m1h.at[i, pl.ds(r * rb, rb),
-                                   pl.ds(c * CH, CH)],
+                            m1h.at[i, t],
                             mchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
-                            v1h.at[i, pl.ds(r * rb, rb),
-                                   pl.ds(c * CH, CH)],
+                            v1h.at[i, t],
                             vchunk.at[s, pl.ds(0, rb), :],
                             sems.at[2 * s + 1]))
 
             def out_copies(t, s):
-                r, c = tiles[t]
                 return (pltpu.make_async_copy(
                             mchunk.at[s, pl.ds(0, rb), :],
-                            m1h.at[i, pl.ds(r * rb, rb),
-                                   pl.ds(c * CH, CH)],
+                            m1h.at[i, t],
                             sems.at[2 * s]),
                         pltpu.make_async_copy(
                             vchunk.at[s, pl.ds(0, rb), :],
-                            v1h.at[i, pl.ds(r * rb, rb),
-                                   pl.ds(c * CH, CH)],
+                            v1h.at[i, t],
                             sems.at[2 * s + 1]))
 
             for cp in in_copies(0, 0):
@@ -1493,7 +1486,11 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
                    for a in (w1, b1, w2, b2, wv, bv,
                              cls_ws[0], cls_bs[0], cls_ws[1], cls_bs[1],
                              cls_ws[2], cls_bs[2])]
-        + ([jax.ShapeDtypeStruct((N, Fp, H1p), state_dt)] * 2
+        # streamed W1 Adam moments in (N, ntiles, rb, CH) tile layout —
+        # contiguous per-tile bursts, kernel-internal (caller drops them)
+        + ([jax.ShapeDtypeStruct(
+                (N, (Fp // _row_block(Fp)) * (H1p // CH),
+                 _row_block(Fp), CH), state_dt)] * 2
            if stream_big else
            [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 2),
         interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
