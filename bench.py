@@ -5,8 +5,8 @@ Workload (the reference's headline job, SURVEY.md §6): the full
 ``MMAESweep.run()`` product surface at the reference's scale — 108
 settings (72 DAE + 36 VAE over architectures 1000/500/300 x 100,
 autoencoder_wrapper.py:127-155) x 5-fold CV x 15000 Adam steps at batch
-20, embedding-quality probe ON (the on-device kernel-ridge probe,
-sweep/probe.py; the reference fits host-side RBF SVCs,
+20, embedding-quality probe ON (the on-device random-Fourier RBF ridge
+probe, sweep/probe.py; the reference fits host-side RBF SVCs,
 autoencoder_wrapper.py:202-284), results ledger ON, best-setting
 selection included.  The reference runs this as a serial Python loop
 with one ``session.run`` per step (generic_wrapper.py:253-300).
