@@ -209,14 +209,16 @@ def _train_kernel(
         w1_in, b1_in, w2_in, b2_in, w3_in, b3_in, w4_in, b4_in,
         wv_in, bv_in,                                            # ANY
         # outputs (ANY; written once at the end) + streamed HBM moments
+        # (mv1h/mv4h: (N, ntiles, 2, rb, CH) — m and v ADJACENT so one
+        # DMA moves both, halving the stream's DMA op count)
         w1o, b1o, w2o, b2o, w3o, b3o, w4o, b4o, wvo, bvo,
-        m1h, v1h, m4h, v4h,
+        mv1h, mv4h,
         # scratch: staging + DMA sems + mutable params + Adam moments
         xbuf, sems, psem,
         w1s, b1s, w2s, b2s, w3s, b3s, w4s, b4s, wvs, bvs,
         m1, v1, mb1, vb1, m2, v2, mb2, vb2,
         m3, v3, mb3, vb3, m4, v4, mb4, vb4, mwv, vwv, mbv, vbv,
-        mchunk, vchunk,
+        mvchunk,
         *, steps: int, batch: int, tied: bool, variational: bool,
         stream_big: bool, elem_p: float, mask_value: float,
         decay: bool, decay_steps: float, decay_rate: float,
@@ -253,15 +255,15 @@ def _train_kernel(
         v[...] = jnp.zeros(v.shape, v.dtype)
     if stream_big:
         # zero the streamed W1/W4 moment buffers tile by tile; HBM
-        # layout is (N, ntiles, rb, CH) — each tile CONTIGUOUS, so the
-        # per-step stream DMAs run at full burst efficiency instead of
-        # rb strided 2*CH-byte rows
-        mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
-        for hbuf in (m1h, v1h, m4h, v4h):
-            rb = hbuf.shape[2]
+        # layout is (N, ntiles, 2, rb, CH) — m and v adjacent per
+        # CONTIGUOUS tile, so each stream transfer is one burst
+        mvchunk[...] = jnp.zeros(mvchunk.shape, mvchunk.dtype)
+        for hbuf in (mv1h, mv4h):
+            rb = hbuf.shape[3]
             for t in range(hbuf.shape[1]):
                 cp = pltpu.make_async_copy(
-                    mchunk.at[0, pl.ds(0, rb), :], hbuf.at[i, t], psem)
+                    mvchunk.at[0, :, pl.ds(0, rb), :], hbuf.at[i, t],
+                    psem)
                 cp.start()
                 cp.wait()
 
@@ -395,46 +397,33 @@ def _train_kernel(
 
         pen = 2.0 if tied else 1.0
 
-        def adam_streamed(w_scr, mh, vh, left, right):
+        def adam_streamed(w_scr, mvh, left, right):
             # tiled Adam for one big weight, two-slot software pipeline:
-            # tile t+1's moment reads fly while tile t's math runs, and
-            # tile t's writebacks drain while tile t+1 computes.  Slot s
-            # owns sems[2s] (m) and sems[2s+1] (v); a slot's out-DMA is
-            # waited before the slot is reused for an in-DMA two tiles
-            # later, so each semaphore has at most one DMA outstanding.
-            # Tiles are (rb, CH) — rb <= CROWS row blocks, not full
-            # columns — to keep the chunk buffers AND the f32 m/v/g
-            # temporaries inside the scoped-VMEM budget (_row_block);
-            # the HBM side is laid out (ntiles, rb, CH) so every tile
-            # transfer is one contiguous burst.
+            # tile t+1's moment read flies while tile t's math runs, and
+            # tile t's writeback drains while tile t+1 computes.  Slot s
+            # owns sems[s]; a slot's out-DMA is waited before the slot
+            # is reused for an in-DMA two tiles later, so each semaphore
+            # has at most one DMA outstanding.  Tiles are (2, rb, CH) —
+            # m and v adjacent, ONE DMA each way — with rb <= CROWS row
+            # blocks to keep the chunk buffer AND the f32 m/v/g
+            # temporaries inside the scoped-VMEM budget (_row_block).
             rows = w_scr.shape[0]
             rb = _row_block(rows)
             tiles = [(r, c) for r in range(rows // rb)
                      for c in range(w_scr.shape[1] // CH)]
             nt = len(tiles)
 
-            def in_copies(t, s):
-                return (pltpu.make_async_copy(
-                            mh.at[i, t],
-                            mchunk.at[s, pl.ds(0, rb), :],
-                            sems.at[2 * s]),
-                        pltpu.make_async_copy(
-                            vh.at[i, t],
-                            vchunk.at[s, pl.ds(0, rb), :],
-                            sems.at[2 * s + 1]))
+            def in_copy(t, s):
+                return pltpu.make_async_copy(
+                    mvh.at[i, t], mvchunk.at[s, :, pl.ds(0, rb), :],
+                    sems.at[s])
 
-            def out_copies(t, s):
-                return (pltpu.make_async_copy(
-                            mchunk.at[s, pl.ds(0, rb), :],
-                            mh.at[i, t],
-                            sems.at[2 * s]),
-                        pltpu.make_async_copy(
-                            vchunk.at[s, pl.ds(0, rb), :],
-                            vh.at[i, t],
-                            sems.at[2 * s + 1]))
+            def out_copy(t, s):
+                return pltpu.make_async_copy(
+                    mvchunk.at[s, :, pl.ds(0, rb), :], mvh.at[i, t],
+                    sems.at[s])
 
-            for cp in in_copies(0, 0):
-                cp.start()
+            in_copy(0, 0).start()
             for t in range(nt):
                 s = t % 2
                 r, c = tiles[t]
@@ -442,32 +431,27 @@ def _train_kernel(
                     if t >= 1:
                         # free the other slot: its writeback (tile t-1)
                         # must land before tile t+1's read reuses it
-                        for cp in out_copies(t - 1, 1 - s):
-                            cp.wait()
-                    for cp in in_copies(t + 1, 1 - s):
-                        cp.start()
+                        out_copy(t - 1, 1 - s).wait()
+                    in_copy(t + 1, 1 - s).start()
                 g = (jnp.dot(left[:, r * rb:(r + 1) * rb].T,
                              right[:, c * CH:(c + 1) * CH],
                              preferred_element_type=jnp.float32)
                      + wpen * w_scr[r * rb:(r + 1) * rb,
                                     c * CH:(c + 1) * CH])
-                for cp in in_copies(t, s):
-                    cp.wait()
-                m = (b1_const * mchunk[s, pl.ds(0, rb), :].astype(
+                in_copy(t, s).wait()
+                m = (b1_const * mvchunk[s, 0, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b1_const) * g)
-                v = (b2_const * vchunk[s, pl.ds(0, rb), :].astype(
+                v = (b2_const * mvchunk[s, 1, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b2_const) * jnp.square(g))
-                mchunk[s, pl.ds(0, rb), :] = m.astype(mchunk.dtype)
-                vchunk[s, pl.ds(0, rb), :] = v.astype(vchunk.dtype)
+                mvchunk[s, 0, pl.ds(0, rb), :] = m.astype(mvchunk.dtype)
+                mvchunk[s, 1, pl.ds(0, rb), :] = v.astype(mvchunk.dtype)
                 w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
                     w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
                     - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-                for cp in out_copies(t, s):
-                    cp.start()
+                out_copy(t, s).start()
             for t in (nt - 2, nt - 1):
                 if t >= 0:
-                    for cp in out_copies(t, t % 2):
-                        cp.wait()
+                    out_copy(t, t % 2).wait()
 
         # ---- weight gradients applied tensor-by-tensor (one transient
         # weight-size gradient alive at a time) --------------------------
@@ -485,8 +469,8 @@ def _train_kernel(
             adam(2, dW2, lr, bc1, bc2)
         else:
             if stream_big:
-                adam_streamed(w1s, m1h, v1h, xn, g1)
-                adam_streamed(w4s, m4h, v4h, a3d, g4)
+                adam_streamed(w1s, mv1h, xn, g1)
+                adam_streamed(w4s, mv4h, a3d, g4)
             else:
                 adam(0, jnp.dot(xn.T, g1,
                                 preferred_element_type=jnp.float32)
@@ -707,7 +691,7 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
             pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
             pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
         ] + [anyspec()] * 10,
-        out_specs=[anyspec()] * 14,
+        out_specs=[anyspec()] * 12,
         scratch_shapes=[
             pltpu.VMEM((Bp, SUB, Fp), jnp.float32),        # panel staging
             pltpu.SemaphoreType.DMA((Bp,)),                # batch sems
@@ -734,30 +718,29 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
           + moment_pair(*wv_rc)
           + moment_pair(*((SUB, H2p) if cfg.variational
                           else (SUB, LANE)))
-          # two-slot tile pipeline buffers for the streamed moments
-          + [pltpu.VMEM((2, max(_row_block(Fp), _row_block(H1p)), CH)
-                        if stream_big else (2, SUB, CH), state_dt),
-             pltpu.VMEM((2, max(_row_block(Fp), _row_block(H1p)), CH)
-                        if stream_big else (2, SUB, CH), state_dt)],
+          # two-slot tile pipeline buffer for the streamed moments
+          # (m and v adjacent per slot: one DMA moves both)
+          + [pltpu.VMEM((2, 2, max(_row_block(Fp), _row_block(H1p)), CH)
+                        if stream_big else (2, 2, SUB, CH), state_dt)],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # streamed W1/W4 Adam moments live in HBM in TILE layout
-        # (N, ntiles, rb, CH): contiguous per-tile bursts for the
-        # two-slot stream (the buffers are kernel-internal state; the
+        # (N, ntiles, 2, rb, CH): m and v adjacent per contiguous tile,
+        # one burst each way (the buffers are kernel-internal state; the
         # caller drops them, so the layout is invisible outside)
         out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
                    for a in (w1, b1, w2, b2, w3, b3, w4, b4, wv, bv)]
         + ([jax.ShapeDtypeStruct(
-                (N, (Fp // _row_block(Fp)) * (H1p // CH),
-                 _row_block(Fp), CH), state_dt)] * 2
-           + [jax.ShapeDtypeStruct(
-                (N, (H1p // _row_block(H1p)) * (Fp // CH),
-                 _row_block(H1p), CH), state_dt)] * 2
+                (N, (Fp // _row_block(Fp)) * (H1p // CH), 2,
+                 _row_block(Fp), CH), state_dt),
+            jax.ShapeDtypeStruct(
+                (N, (H1p // _row_block(H1p)) * (Fp // CH), 2,
+                 _row_block(H1p), CH), state_dt)]
            if stream_big else
-           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 4),
+           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 2),
         # eager DMA execution: the default "on_wait" semaphore-driven
         # interpreter deadlocks when several mesh shards run multi-program
         # grids concurrently in one process (shard_map on the virtual CPU
@@ -930,16 +913,17 @@ def _cls_train_kernel(
         labelmask_ref,            # (1, Lp)            VMEM
         w1_in, b1_in, w2_in, b2_in, wv_in, bv_in,
         c1_in, cb1_in, c2_in, cb2_in, c3_in, cb3_in,
-        # outputs + streamed W1 moment buffers
+        # outputs + streamed W1 moment buffer ((N, ntiles, 2, rb, CH):
+        # m and v adjacent, one DMA moves both)
         w1o, b1o, w2o, b2o, wvo, bvo,
-        c1o, cb1o, c2o, cb2o, c3o, cb3o, m1h, v1h,
+        c1o, cb1o, c2o, cb2o, c3o, cb3o, mv1h,
         # scratch
         xbuf, sems, psem,
         w1s, b1s, w2s, b2s, wvs, bvs,
         c1s, cb1s, c2s, cb2s, c3s, cb3s,
         m1, v1, mb1, vb1, m2, v2, mb2, vb2, mwv, vwv, mbv, vbv,
         mc1, vc1, mcb1, vcb1, mc2, vc2, mcb2, vcb2, mc3, vc3, mcb3, vcb3,
-        mchunk, vchunk,
+        mvchunk,
         *, steps: int, batch: int, n_cls: int, gates: tuple,
         variational: bool, softmax: bool, stream_big: bool, elem_p: float,
         mask_value: float, lr_const: float, num_labels: int,
@@ -978,15 +962,14 @@ def _cls_train_kernel(
         m[...] = jnp.zeros(m.shape, m.dtype)
         v[...] = jnp.zeros(v.shape, v.dtype)
     if stream_big:
-        # (N, ntiles, rb, CH) tile layout — see the phase-1 kernel
-        mchunk[...] = jnp.zeros(mchunk.shape, mchunk.dtype)
-        for hbuf in (m1h, v1h):
-            rb = hbuf.shape[2]
-            for t in range(hbuf.shape[1]):
-                cp = pltpu.make_async_copy(
-                    mchunk.at[0, pl.ds(0, rb), :], hbuf.at[i, t], psem)
-                cp.start()
-                cp.wait()
+        # (N, ntiles, 2, rb, CH) tile layout — see the phase-1 kernel
+        mvchunk[...] = jnp.zeros(mvchunk.shape, mvchunk.dtype)
+        rb = mv1h.shape[3]
+        for t in range(mv1h.shape[1]):
+            cp = pltpu.make_async_copy(
+                mvchunk.at[0, :, pl.ds(0, rb), :], mv1h.at[i, t], psem)
+            cp.start()
+            cp.wait()
 
     featmask = featmask_ref[0, :]                       # (Fp,)
     labelmask = labelmask_ref[0, :]                     # (Lp,)
@@ -1144,65 +1127,48 @@ def _cls_train_kernel(
         def adam_streamed_w1():
             # tiled Adam for W1, two-slot pipeline (same scheme as the
             # phase-1 kernel's adam_streamed; W1 carries no L2 here).
-            # (rb, CH) tiles, not full columns — see _row_block; the
-            # HBM side is (ntiles, rb, CH) for contiguous tile bursts.
+            # (2, rb, CH) tiles — m and v adjacent, one DMA each way.
             rows = w1s.shape[0]
             rb = _row_block(rows)
             tiles = [(r, c) for r in range(rows // rb)
                      for c in range(w1s.shape[1] // CH)]
             nt = len(tiles)
 
-            def in_copies(t, s):
-                return (pltpu.make_async_copy(
-                            m1h.at[i, t],
-                            mchunk.at[s, pl.ds(0, rb), :],
-                            sems.at[2 * s]),
-                        pltpu.make_async_copy(
-                            v1h.at[i, t],
-                            vchunk.at[s, pl.ds(0, rb), :],
-                            sems.at[2 * s + 1]))
+            def in_copy(t, s):
+                return pltpu.make_async_copy(
+                    mv1h.at[i, t], mvchunk.at[s, :, pl.ds(0, rb), :],
+                    sems.at[s])
 
-            def out_copies(t, s):
-                return (pltpu.make_async_copy(
-                            mchunk.at[s, pl.ds(0, rb), :],
-                            m1h.at[i, t],
-                            sems.at[2 * s]),
-                        pltpu.make_async_copy(
-                            vchunk.at[s, pl.ds(0, rb), :],
-                            v1h.at[i, t],
-                            sems.at[2 * s + 1]))
+            def out_copy(t, s):
+                return pltpu.make_async_copy(
+                    mvchunk.at[s, :, pl.ds(0, rb), :], mv1h.at[i, t],
+                    sems.at[s])
 
-            for cp in in_copies(0, 0):
-                cp.start()
+            in_copy(0, 0).start()
             for t in range(nt):
                 s = t % 2
                 r, c = tiles[t]
                 if t + 1 < nt:
                     if t >= 1:
-                        for cp in out_copies(t - 1, 1 - s):
-                            cp.wait()
-                    for cp in in_copies(t + 1, 1 - s):
-                        cp.start()
+                        out_copy(t - 1, 1 - s).wait()
+                    in_copy(t + 1, 1 - s).start()
                 gch = jnp.dot(xn[:, r * rb:(r + 1) * rb].T,
                               g1[:, c * CH:(c + 1) * CH],
                               preferred_element_type=jnp.float32)
-                for cp in in_copies(t, s):
-                    cp.wait()
-                m = (b1_const * mchunk[s, pl.ds(0, rb), :].astype(
+                in_copy(t, s).wait()
+                m = (b1_const * mvchunk[s, 0, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b1_const) * gch)
-                v = (b2_const * vchunk[s, pl.ds(0, rb), :].astype(
+                v = (b2_const * mvchunk[s, 1, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b2_const) * jnp.square(gch))
-                mchunk[s, pl.ds(0, rb), :] = m.astype(mchunk.dtype)
-                vchunk[s, pl.ds(0, rb), :] = v.astype(vchunk.dtype)
+                mvchunk[s, 0, pl.ds(0, rb), :] = m.astype(mvchunk.dtype)
+                mvchunk[s, 1, pl.ds(0, rb), :] = v.astype(mvchunk.dtype)
                 w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
                     w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
                     - lr_const * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
-                for cp in out_copies(t, s):
-                    cp.start()
+                out_copy(t, s).start()
             for t in (nt - 2, nt - 1):
                 if t >= 0:
-                    for cp in out_copies(t, t % 2):
-                        cp.wait()
+                    out_copy(t, t % 2).wait()
 
         if stream_big:
             adam_streamed_w1()
@@ -1445,7 +1411,7 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
             pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
             pl.BlockSpec((1, Lp), lambda i, *_: (0, 0)),   # label mask
         ] + [anyspec()] * 12,
-        out_specs=[anyspec()] * 14,
+        out_specs=[anyspec()] * 13,
         scratch_shapes=[
             pltpu.VMEM((Bp, SUB, Fp + Lp), jnp.float32),   # panel staging
             pltpu.SemaphoreType.DMA((Bp,)),
@@ -1473,10 +1439,8 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
           + moment_pair(*cls_rc[0]) + moment_pair(SUB, cls_rc[0][1])
           + moment_pair(*cls_rc[1]) + moment_pair(SUB, cls_rc[1][1])
           + moment_pair(*cls_rc[2]) + moment_pair(SUB, cls_rc[2][1])
-          + [pltpu.VMEM((2, _row_block(Fp), CH) if stream_big
-                        else (2, SUB, CH), state_dt),
-             pltpu.VMEM((2, _row_block(Fp), CH) if stream_big
-                        else (2, SUB, CH), state_dt)],
+          + [pltpu.VMEM((2, 2, _row_block(Fp), CH) if stream_big
+                        else (2, 2, SUB, CH), state_dt)],
     )
 
     out = pl.pallas_call(
@@ -1486,13 +1450,14 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
                    for a in (w1, b1, w2, b2, wv, bv,
                              cls_ws[0], cls_bs[0], cls_ws[1], cls_bs[1],
                              cls_ws[2], cls_bs[2])]
-        # streamed W1 Adam moments in (N, ntiles, rb, CH) tile layout —
-        # contiguous per-tile bursts, kernel-internal (caller drops them)
+        # streamed W1 Adam moments in (N, ntiles, 2, rb, CH) tile
+        # layout — m and v adjacent per contiguous tile, kernel-internal
+        # (caller drops them)
         + ([jax.ShapeDtypeStruct(
-                (N, (Fp // _row_block(Fp)) * (H1p // CH),
-                 _row_block(Fp), CH), state_dt)] * 2
+                (N, (Fp // _row_block(Fp)) * (H1p // CH), 2,
+                 _row_block(Fp), CH), state_dt)]
            if stream_big else
-           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)] * 2),
+           [jax.ShapeDtypeStruct((N, SUB, LANE), state_dt)]),
         interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                    if interpret else False),
         compiler_params=pltpu.CompilerParams(
