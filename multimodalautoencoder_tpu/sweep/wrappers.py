@@ -18,6 +18,7 @@ clipping but both are inert bugs (SURVEY §2.8.1-2); here they work, with
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, Optional, Sequence
@@ -40,6 +41,44 @@ DEFAULT_NUM_CROSS_FOLDS = 5
 
 def _arch_tuple(a) -> tuple:
     return tuple(a) if isinstance(a, (list, tuple)) else (a,)
+
+
+@functools.partial(jax.jit, static_argnames=("with_slices",))
+def _metric_battery_jit(preds, val_y, val_n, noisy, *, with_slices):
+    """acc/auc/f1/precision/recall vmapped over (config, fold, label),
+    plus noisy/clean acc+auc slices, in ONE compiled program.
+
+    ``preds``: (C, K, R, L); ``val_y``: (K, R, L); ``val_n``: (K,);
+    ``noisy``: (K, R) bool.  Returns (main, noisy_m, clean_m) dicts of
+    (C, K, L) arrays (slices None-like zeros when with_slices=False).
+    Metric semantics are metrics_lib's (sklearn-parity, NaN on empty
+    slices) — this is purely a batching of the per-cell calls."""
+    R = val_y.shape[1]
+    valid = jnp.arange(R)[None, :] < val_n[:, None]          # (K, R)
+
+    def inst(p, y, v):
+        return metrics_lib.all_classification_metrics(p, y, v)
+
+    per_label = jax.vmap(inst, in_axes=(-1, -1, None))
+    per_fold = jax.vmap(per_label, in_axes=(0, 0, 0))
+    per_cfg = jax.vmap(per_fold, in_axes=(0, None, None))
+
+    main = per_cfg(preds, val_y, valid)
+    if not with_slices:
+        return main, main, main
+    return (main,
+            per_cfg(preds, val_y, valid & noisy),
+            per_cfg(preds, val_y, valid & ~noisy))
+
+
+def _batched_metric_battery(preds, val_y, val_n, noisy):
+    if noisy is None:
+        m, _, _ = _metric_battery_jit(
+            preds, val_y, val_n, jnp.zeros(val_y.shape[:2], bool),
+            with_slices=False)
+        return m, None, None
+    return _metric_battery_jit(preds, val_y, val_n, noisy,
+                               with_slices=True)
 
 
 def _cfg_slice(emb_dict, key, c):
@@ -668,36 +707,36 @@ class MMAEClassificationSweep:
         noisy = (np.asarray(self.sup_folded.val_noisy)
                  if self.sup_folded.val_noisy is not None else None)
         K = val_y.shape[0]
+        # normalize to (C, K, R, L) / (K, R, L) independently: the
+        # backends differ in whether a single label keeps its axis
         if preds.ndim == 3:                              # single-label
             preds = preds[..., None]
+        if val_y.ndim == 2:
             val_y = val_y[..., None]
         L = preds.shape[-1]
 
+        # ONE jitted call for the whole battery: metrics are vmapped over
+        # (config, fold, label) and the noisy/clean slices computed in
+        # the same program — the per-(c, f, l) loop this replaces issued
+        # C*K*L*3 tiny dispatches per bucket (~720 at reference scale),
+        # each paying the tunnel's dispatch latency
+        main, noisy_d, clean_d = _batched_metric_battery(
+            jnp.asarray(preds, jnp.float32),
+            jnp.asarray(val_y, jnp.float32),
+            jnp.asarray(val_n, jnp.int32),
+            jnp.asarray(noisy) if noisy is not None else None)
+        main = {k: np.asarray(v) for k, v in main.items()}   # (C, K, L)
+        if noisy_d is not None:
+            noisy_d = {k: np.asarray(v) for k, v in noisy_d.items()}
+            clean_d = {k: np.asarray(v) for k, v in clean_d.items()}
+
         rows = []
         for c in range(num_configs):
-            per_label = {m: np.full((K, L), np.nan)
-                         for m in ("acc", "auc", "f1", "precision",
-                                   "recall")}
-            noisy_m = {m: np.full((K, L), np.nan) for m in ("acc", "auc")}
-            clean_m = {m: np.full((K, L), np.nan) for m in ("acc", "auc")}
-            for f in range(K):
-                n = int(val_n[f])
-                valid = np.arange(val_y.shape[1]) < n
-                for l in range(L):
-                    p = jnp.asarray(preds[c, f, :, l], jnp.float32)
-                    y = jnp.asarray(val_y[f, :, l], jnp.float32)
-                    v = jnp.asarray(valid)
-                    m = metrics_lib.all_classification_metrics(p, y, v)
-                    for name in per_label:
-                        per_label[name][f, l] = float(m[name])
-                    if noisy is not None:
-                        vn = jnp.asarray(valid & noisy[f])
-                        vc = jnp.asarray(valid & ~noisy[f])
-                        mn = metrics_lib.all_classification_metrics(p, y, vn)
-                        mc = metrics_lib.all_classification_metrics(p, y, vc)
-                        for name in ("acc", "auc"):
-                            noisy_m[name][f, l] = float(mn[name])
-                            clean_m[name][f, l] = float(mc[name])
+            per_label = {m: main[m][c] for m in ("acc", "auc", "f1",
+                                                 "precision", "recall")}
+            if noisy is not None:
+                noisy_m = {m: noisy_d[m][c] for m in ("acc", "auc")}
+                clean_m = {m: clean_d[m][c] for m in ("acc", "auc")}
             row = {}
             for name in per_label:
                 row[f"val_{name}"] = engine.nanmean(per_label[name])
