@@ -110,6 +110,51 @@ def test_mmae_sweep_resume_skips_done(loaders, tmp_path):
     del mtime
 
 
+def test_batched_metric_battery_matches_per_cell():
+    """The one-jit (config, fold, label)-vmapped metric battery must be
+    exactly the per-cell metric calls it replaced (incl. NaN empty-slice
+    semantics on the noisy/clean masks)."""
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.ops import metrics as metrics_lib
+    from multimodalautoencoder_tpu.sweep.wrappers import \
+        _batched_metric_battery
+
+    rng = np.random.default_rng(0)
+    C, K, R, L = 3, 2, 40, 2
+    preds = (rng.random((C, K, R, L)) > 0.5).astype(np.float32)
+    val_y = (rng.random((K, R, L)) > 0.4).astype(np.float32)
+    val_n = np.array([33, 40], np.int32)
+    noisy = rng.random((K, R)) > 0.6
+
+    main, nm, _ = _batched_metric_battery(
+        jnp.asarray(preds), jnp.asarray(val_y), jnp.asarray(val_n),
+        jnp.asarray(noisy))
+    main = {k: np.asarray(v) for k, v in main.items()}
+    nm = {k: np.asarray(v) for k, v in nm.items()}
+
+    for c in range(C):
+        for f in range(K):
+            valid = np.arange(R) < val_n[f]
+            for l in range(L):
+                ref = metrics_lib.all_classification_metrics(
+                    jnp.asarray(preds[c, f, :, l]),
+                    jnp.asarray(val_y[f, :, l]), jnp.asarray(valid))
+                for name in ("acc", "auc", "f1", "precision", "recall"):
+                    np.testing.assert_allclose(
+                        main[name][c, f, l], float(ref[name]),
+                        rtol=1e-6, err_msg=f"{name} {c},{f},{l}")
+                refn = metrics_lib.all_classification_metrics(
+                    jnp.asarray(preds[c, f, :, l]),
+                    jnp.asarray(val_y[f, :, l]),
+                    jnp.asarray(valid & noisy[f]))
+                for name in ("acc", "auc"):
+                    a = float(refn[name])
+                    b = nm[name][c, f, l]
+                    assert (np.isnan(a) and np.isnan(b)) or \
+                        abs(a - b) < 1e-6, (name, c, f, l, a, b)
+
+
 def test_classification_sweep_end_to_end(loaders, tmp_path):
     unsup, sup = loaders
     sweep = wrappers.MMAEClassificationSweep(
