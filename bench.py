@@ -99,7 +99,6 @@ def main():
     enable_persistent_cache()
 
     from multimodalautoencoder_tpu.data import synthetic
-    from multimodalautoencoder_tpu.data.loader import DataLoader
     from multimodalautoencoder_tpu.sweep.wrappers import MMAESweep
 
     FULL_STEPS = 15000
@@ -107,20 +106,9 @@ def main():
 
     workdir = tempfile.mkdtemp(prefix="bench_sweep_")
     try:
-        # reference-scale synthetic dataset: 1000 features over the 5
-        # study modalities, ~2000 rows, the 3 mood labels
-        path = synthetic.write_csv(
-            os.path.join(workdir, "acii.csv"), num_rows=2000, seed=0,
-            modalities=(("call", 200), ("location", 200),
-                        ("screen", 200), ("sms", 200), ("survey", 200)),
-            label_names=("happiness_label", "health_label",
-                         "calmness_label"))
-        unsup = DataLoader(path, supervised=False, cross_validation=True,
-                           suppress_output=True, normalize_and_fill=True,
-                           fill_gaps_with=-1.0)
-        sup = DataLoader(path, supervised=True, cross_validation=True,
-                         suppress_output=True, normalize_and_fill=True,
-                         fill_gaps_with=-1.0)
+        # reference-scale synthetic dataset shared with
+        # bench_classification.py (data/synthetic.py)
+        unsup, sup = synthetic.reference_scale_loaders(workdir)
 
         canary = _wait_for_healthy_chip()
 

@@ -54,7 +54,6 @@ def main():
 
     from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
     from multimodalautoencoder_tpu.data import synthetic
-    from multimodalautoencoder_tpu.data.loader import DataLoader
     from multimodalautoencoder_tpu.parallel import grid_trainer as gt
     from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
     from multimodalautoencoder_tpu.models.corruption import NoiseSpec
@@ -78,18 +77,9 @@ def main():
 
     workdir = tempfile.mkdtemp(prefix="bench_cls_")
     try:
-        path = synthetic.write_csv(
-            os.path.join(workdir, "acii.csv"), num_rows=2000, seed=0,
-            modalities=(("call", 200), ("location", 200),
-                        ("screen", 200), ("sms", 200), ("survey", 200)),
-            label_names=("happiness_label", "health_label",
-                         "calmness_label"))
-        unsup = DataLoader(path, supervised=False, cross_validation=True,
-                           suppress_output=True, normalize_and_fill=True,
-                           fill_gaps_with=-1.0)
-        sup = DataLoader(path, supervised=True, cross_validation=True,
-                         suppress_output=True, normalize_and_fill=True,
-                         fill_gaps_with=-1.0)
+        # reference-scale synthetic dataset shared with bench.py
+        # (data/synthetic.py)
+        unsup, sup = synthetic.reference_scale_loaders(workdir)
 
         canary = _wait_for_healthy_chip()
 

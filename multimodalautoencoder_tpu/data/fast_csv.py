@@ -65,7 +65,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if _stale() and not _build() and not os.path.exists(_SO_PATH):
+        if _stale() and not _build():
+            # rebuild failed (or toolchain missing): never load a stale
+            # binary that would silently shadow source edits — fall back
+            # to pandas instead
             _lib_failed = True
             return None
         try:

@@ -101,3 +101,30 @@ def write_csv(path: str, **kwargs) -> str:
     df = make_dataframe(**kwargs)
     df.to_csv(path)
     return path
+
+
+def reference_scale_loaders(workdir: str):
+    """The benchmark dataset both perf harnesses share: a
+    reference-scale synthetic study (1000 features over the 5 wearable
+    modalities, ~2000 rows, the 3 mood labels — autoencoder_wrapper.py
+    :25, :127-136 scale) written to ``workdir`` and wrapped in the
+    unsupervised + supervised DataLoaders the sweeps take.  Lives here
+    so bench.py and bench_classification.py cannot drift apart in what
+    "reference scale" means."""
+    import os
+
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+
+    path = write_csv(
+        os.path.join(workdir, "acii.csv"), num_rows=2000, seed=0,
+        modalities=(("call", 200), ("location", 200), ("screen", 200),
+                    ("sms", 200), ("survey", 200)),
+        label_names=("happiness_label", "health_label",
+                     "calmness_label"))
+    unsup = DataLoader(path, supervised=False, cross_validation=True,
+                       suppress_output=True, normalize_and_fill=True,
+                       fill_gaps_with=-1.0)
+    sup = DataLoader(path, supervised=True, cross_validation=True,
+                     suppress_output=True, normalize_and_fill=True,
+                     fill_gaps_with=-1.0)
+    return unsup, sup

@@ -813,8 +813,10 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
 #   z1 = xn W1 + b1; a1 = act_enc(z1) [dropout]
 #   mu = a1 W2 + b2;  [VAE: lv = a1 Wv + bv; e = mu + eps*exp(lv)]
 #   h = e; for j < n_cls: zc_j = h Cj + cbj;
-#          act_cls+dropout on all but the last layer (fixed gate;
-#          faithful_classify_gate configs fall back to XLA)
+#          act_cls+dropout gated per layer by _cls_gates: the fixed
+#          mode gates on 'not the last head layer', the
+#          faithful_classify_gate mode reproduces the reference's
+#          len(decode_weights) gate bug — BOTH run in-kernel
 #   sigmoid-CE: L = mean(BCE(logits, y)) -> g = (sig - y)/(B*L_real)
 #   softmax:    L = -mean(logp[y])       -> g = (softmax - onehot)/B
 #   + wpen * l2(Cj) on classification WEIGHTS only (:346-349).

@@ -432,8 +432,10 @@ class MMAESweep:
                 params, cfg, hyper, len(bucket),
                 jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
                                    bi))
-        self.phase_seconds["train"] += time.time() - t0
-        return {"bi": bi, "bucket": bucket, "t0": t0, "cfg": cfg,
+        now = time.time()
+        self.phase_seconds["train"] += now - t0
+        return {"bi": bi, "bucket": bucket, "t0": t0,
+                "launch_secs": now - t0, "cfg": cfg,
                 "hyper": hyper, "params": params, "losses": losses,
                 "probe": probe_dev}
 
@@ -441,7 +443,12 @@ class MMAESweep:
         """Materialize one launched bucket's results and write its
         ledger rows.  Phase accounting: waiting on the training losses
         counts as 'train'; everything probe-side (device wait or the
-        host sklearn grid) counts as 'probe'."""
+        host sklearn grid) counts as 'probe'.  Per-bucket timing is
+        OWN time (this bucket's launch + finalize durations), not
+        wall-span from t0 — the pipeline interleaves the next bucket's
+        launch before this finalize, and wall-span would double-count
+        that launch (e.g. its one-time compiles) in this bucket's
+        ledger column and the ETA."""
         bucket = st["bucket"]
         t1 = time.time()
         losses = np.asarray(st["losses"])            # (C, K)
@@ -469,7 +476,7 @@ class MMAESweep:
                 self._best_saved = (float(mean_losses[c_best]),
                                     dict(bucket[c_best]), host, st["cfg"])
 
-        bucket_secs = time.time() - st["t0"]
+        bucket_secs = st["launch_secs"] + (time.time() - t1)
         for c, setting in enumerate(bucket):
             row = dict(setting)
             row[self.optimize_for] = float(np.mean(losses[c]))
@@ -492,7 +499,17 @@ class MMAESweep:
                                    self.ledger.started_from)
         inflight = None
         for bi, (key, bucket) in enumerate(buckets):
-            st = self._launch_bucket(bi, bucket)
+            try:
+                st = self._launch_bucket(bi, bucket)
+            except Exception:
+                # persist the completed in-flight bucket before
+                # propagating: a compile/launch failure in bucket N+1
+                # must not discard bucket N's finished work (the serial
+                # loop's durability contract)
+                if inflight is not None:
+                    self._finalize_bucket(inflight, est, len(buckets))
+                    self.ledger.flush()
+                raise
             if inflight is not None:
                 self._finalize_bucket(inflight, est, len(buckets))
             inflight = st

@@ -31,6 +31,10 @@ import numpy as np
 
 FIXTURE_SEED = 7
 FIXTURE_ROWS = 400
+# bump when synthetic.write_csv's generation recipe changes: the cached
+# fixture file name is keyed on this, so stale files from older code
+# versions are never silently reused
+FIXTURE_VERSION = 1
 RECIPE_STEPS = 500
 RECIPE_ARCH = (16, 8)
 
@@ -38,14 +42,23 @@ RECIPE_ARCH = (16, 8)
 def _fixture_loader():
     """Deterministic synthetic fixture set through the full DataLoader
     path (normalization/imputation included, so the observables cover the
-    data pipeline too)."""
+    data pipeline too).  The cached CSV is version-keyed and written
+    atomically (tmp + rename), so neither an old-recipe file nor a
+    truncated interrupted write can be picked up."""
     from multimodalautoencoder_tpu.data import synthetic
     from multimodalautoencoder_tpu.data.loader import DataLoader
 
-    path = os.path.join(tempfile.gettempdir(),
-                        f"parity_fixture_{FIXTURE_SEED}_{FIXTURE_ROWS}.csv")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"parity_fixture_v{FIXTURE_VERSION}_{FIXTURE_SEED}"
+        f"_{FIXTURE_ROWS}.csv")
     if not os.path.exists(path):
-        synthetic.write_csv(path, num_rows=FIXTURE_ROWS, seed=FIXTURE_SEED)
+        fd, tmp = tempfile.mkstemp(suffix=".csv",
+                                   dir=tempfile.gettempdir())
+        os.close(fd)
+        synthetic.write_csv(tmp, num_rows=FIXTURE_ROWS,
+                            seed=FIXTURE_SEED)
+        os.replace(tmp, path)
     return DataLoader(path, supervised=False, cross_validation=False,
                       suppress_output=True, normalize_and_fill=True,
                       normalization="between_0_and_1", fill_gaps_with=-1.0)
