@@ -136,6 +136,11 @@ def main():
                      f"chip canary {canary / 1000:.0f}k inst-steps/s)"),
             "vs_baseline": round(
                 configs_per_hour / baseline_configs_per_hour, 3),
+            # machine-filterable chip-health record: when the canary
+            # never recovered inside the wait budget the headline number
+            # measured a degraded chip, not this software
+            "canary_inst_steps_per_s": round(canary),
+            "degraded": bool(canary < CANARY_HEALTHY),
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -32,6 +32,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--check-test", action="store_true")
     p.add_argument("--normalize-and-fill", action="store_true",
                    help="normalize + impute the raw CSV on load")
+    p.add_argument("--normalization",
+                   choices=("between_0_and_1", "z_score"),
+                   default="between_0_and_1",
+                   help="dataset-prep normalization mode; z_score is the "
+                        "reference baseline CLIs' Z_SCORE_FILL_WITH_0 "
+                        "prep (comparison_algorithms/svm.py:14,143-150)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", choices=("pandas", "native"),
                    default="pandas")
@@ -43,6 +49,8 @@ def _loader(path, supervised, args, wanted_label=None,
 
     return DataLoader(path, supervised=supervised, cross_validation=True,
                       normalize_and_fill=args.normalize_and_fill,
+                      normalization=getattr(args, "normalization",
+                                            "between_0_and_1"),
                       fill_gaps_with=(-1.0 if args.normalize_and_fill
                                       else None),
                       wanted_label=wanted_label,

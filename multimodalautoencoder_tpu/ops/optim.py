@@ -12,8 +12,18 @@ train step serve a whole ``vmap`` batch of hyperparameter configs
 would prevent.
 
 Formulations match TF1 semantics:
-- adam: b1=0.9, b2=0.999, eps=1e-8, bias-corrected
-  update = -lr * m_hat / (sqrt(v_hat) + eps)
+- adam: b1=0.9, b2=0.999, eps=1e-8, bias-corrected.  The update is
+  computed in the rsqrt form — bias corrections folded into per-step
+  scalars and epsilon moved inside the root:
+      alpha = lr * sqrt(bc2) / bc1;  p -= alpha * m * rsqrt(v + bc2*eps^2)
+  which equals TF's ``-lr * m_hat / (sqrt(v_hat) + eps)`` exactly at
+  v_hat = 0 and to O(eps^2/v_hat) everywhere else (the forms differ only
+  when v_hat ~ eps^2 = 1e-16 — far inside the distributional-parity
+  band, PARITY.md).  Chosen because the per-element cost drops from
+  {2 div, 1 sqrt, 2 mul} to {1 rsqrt, 2 mul, 1 add}: measured on v5e,
+  config-parallel training is VPU-bound on exactly this elementwise
+  Adam math.  The Pallas training kernels implement the IDENTICAL form
+  (ops/train_kernel.py), preserving the step-exact kernel-vs-XLA tests.
 - sgd (GradientDescentOptimizer): p -= lr * g
 - adagrad (AdagradOptimizer): accumulator init 0.1, acc += g^2,
   p -= lr * g / sqrt(acc)
@@ -79,6 +89,10 @@ def adam_update(grads, state: AdamState, params, lr,
     cf = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** cf
     bc2 = 1.0 - b2 ** cf
+    # rsqrt form (see module docstring): fold both bias corrections into
+    # per-step scalars so the per-element work is mul/rsqrt/mul
+    alpha = lr * jnp.sqrt(bc2) / bc1
+    es2 = bc2 * (eps * eps)
 
     mu = jax.tree_util.tree_map(
         lambda m, g: (b1 * m.astype(jnp.float32)
@@ -87,8 +101,8 @@ def adam_update(grads, state: AdamState, params, lr,
         lambda v, g: (b2 * v.astype(jnp.float32)
                       + (1 - b2) * g * g).astype(v.dtype), state.nu, grads)
     new_params = jax.tree_util.tree_map(
-        lambda p, m, v: p - lr * (m.astype(jnp.float32) / bc1)
-        / (jnp.sqrt(v.astype(jnp.float32) / bc2) + eps),
+        lambda p, m, v: p - (alpha * m.astype(jnp.float32))
+        * jax.lax.rsqrt(v.astype(jnp.float32) + es2),
         params, mu, nu)
     return new_params, AdamState(count=count, mu=mu, nu=nu)
 

@@ -92,6 +92,9 @@ def _row_block(rows: int) -> int:
     loop — the streamed untied-1000 bucket sat at 16.39 MiB of scoped
     VMEM (over the ~16 MiB/core physical budget) with full-column
     chunks."""
+    assert rows % SUB == 0, (
+        f"_row_block needs SUB-aligned rows (got {rows}); all call sites "
+        f"pass LANE-padded dims — an unpadded caller would loop forever")
     if rows <= CROWS:
         return rows
     nb = -(-rows // CROWS)
@@ -275,15 +278,18 @@ def _train_kernel(
     def bias_grad_fn(g, shape):
         return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
 
-    def adam(k, g, lr, bc1, bc2):
+    def adam(k, g, alpha, es2):
+        # rsqrt form, identical to optim.adam_update: bias corrections
+        # folded into the per-step scalars alpha = lr*sqrt(bc2)/bc1 and
+        # es2 = bc2*eps^2 — the per-element update is mul/rsqrt/mul
+        # (config-parallel training is VPU-bound on exactly this math)
         m_ref, v_ref = moms[k]
         m = b1_const * m_ref[...].astype(jnp.float32) + (1 - b1_const) * g
         v = b2_const * v_ref[...].astype(jnp.float32) \
             + (1 - b2_const) * jnp.square(g)
         m_ref[...] = m.astype(m_ref.dtype)
         v_ref[...] = v.astype(v_ref.dtype)
-        scr[k][...] = scr[k][...] - lr * (m / bc1) / (jnp.sqrt(v / bc2)
-                                                      + eps)
+        scr[k][...] = scr[k][...] - (alpha * m) * jax.lax.rsqrt(v + es2)
 
     def step_fn(step, _):
         # ---- sample a batch (uniform with replacement, up to the modulo
@@ -394,6 +400,9 @@ def _train_kernel(
                                * float(np.log(decay_rate)))
         else:
             lr = lr0
+        # per-step scalars of the rsqrt Adam form (see adam())
+        alpha = lr * jnp.sqrt(bc2) / bc1
+        es2 = bc2 * (eps * eps)
 
         pen = 2.0 if tied else 1.0
 
@@ -447,7 +456,7 @@ def _train_kernel(
                 mvchunk[s, 1, pl.ds(0, rb), :] = v.astype(mvchunk.dtype)
                 w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
                     w_scr[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
-                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+                    - (alpha * m) * jax.lax.rsqrt(v + es2))
                 out_copy(t, s).start()
             for t in (nt - 2, nt - 1):
                 if t >= 0:
@@ -460,13 +469,13 @@ def _train_kernel(
                 + jnp.dot(g4.T, a3d,
                           preferred_element_type=jnp.float32) \
                 + pen * wpen * w1
-            adam(0, dW1, lr, bc1, bc2)
+            adam(0, dW1, alpha, es2)
             dW2 = jnp.dot(a1d.T, g2,
                           preferred_element_type=jnp.float32) \
                 + jnp.dot(g3.T, z2,
                           preferred_element_type=jnp.float32) \
                 + pen * wpen * w2
-            adam(2, dW2, lr, bc1, bc2)
+            adam(2, dW2, alpha, es2)
         else:
             if stream_big:
                 adam_streamed(w1s, mv1h, xn, g1)
@@ -474,27 +483,27 @@ def _train_kernel(
             else:
                 adam(0, jnp.dot(xn.T, g1,
                                 preferred_element_type=jnp.float32)
-                     + wpen * w1, lr, bc1, bc2)
+                     + wpen * w1, alpha, es2)
                 adam(6, jnp.dot(a3d.T, g4,
                                 preferred_element_type=jnp.float32)
-                     + wpen * w4, lr, bc1, bc2)
+                     + wpen * w4, alpha, es2)
             adam(2, jnp.dot(a1d.T, g2,
                             preferred_element_type=jnp.float32)
-                 + wpen * w2, lr, bc1, bc2)
+                 + wpen * w2, alpha, es2)
             adam(4, jnp.dot(z2.T, g3,
                             preferred_element_type=jnp.float32)
-                 + wpen * w3, lr, bc1, bc2)
+                 + wpen * w3, alpha, es2)
         if variational:
             # L2 reg includes the variance weights (:396-397)
             adam(8, jnp.dot(a1d.T, glv,
                             preferred_element_type=jnp.float32)
-                 + wpen * wvs[...], lr, bc1, bc2)
-            adam(9, bias_grad_fn(glv, bvs.shape), lr, bc1, bc2)
+                 + wpen * wvs[...], alpha, es2)
+            adam(9, bias_grad_fn(glv, bvs.shape), alpha, es2)
 
-        adam(1, bias_grad_fn(g1, b1s.shape), lr, bc1, bc2)
-        adam(3, bias_grad_fn(g2, b2s.shape), lr, bc1, bc2)
-        adam(5, bias_grad_fn(g3, b3s.shape), lr, bc1, bc2)
-        adam(7, bias_grad_fn(g4, b4s.shape), lr, bc1, bc2)
+        adam(1, bias_grad_fn(g1, b1s.shape), alpha, es2)
+        adam(3, bias_grad_fn(g2, b2s.shape), alpha, es2)
+        adam(5, bias_grad_fn(g3, b3s.shape), alpha, es2)
+        adam(7, bias_grad_fn(g4, b4s.shape), alpha, es2)
         return 0
 
     jax.lax.fori_loop(0, steps, step_fn, 0)
@@ -982,15 +991,16 @@ def _cls_train_kernel(
     def bias_grad_fn(g, shape):
         return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
 
-    def adam(k, g, bc1, bc2):
+    def adam(k, g, alpha, es2):
+        # rsqrt form, identical to optim.adam_update and the phase-1
+        # kernel (alpha = lr*sqrt(bc2)/bc1, es2 = bc2*eps^2)
         m_ref, v_ref = moms[k]
         m = b1_const * m_ref[...].astype(jnp.float32) + (1 - b1_const) * g
         v = b2_const * v_ref[...].astype(jnp.float32) \
             + (1 - b2_const) * jnp.square(g)
         m_ref[...] = m.astype(m_ref.dtype)
         v_ref[...] = v.astype(v_ref.dtype)
-        scr[k][...] = scr[k][...] - lr_const * (m / bc1) / (
-            jnp.sqrt(v / bc2) + eps)
+        scr[k][...] = scr[k][...] - (alpha * m) * jax.lax.rsqrt(v + es2)
 
     def step_fn(step, _):
         # ---- sample a supervised batch: features AND labels ride the
@@ -1093,6 +1103,9 @@ def _cls_train_kernel(
         cf = (step + 1).astype(jnp.float32)
         bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
         bc2 = 1.0 - jnp.exp(cf * float(np.log(b2_const)))
+        # per-step scalars of the rsqrt Adam form (see adam())
+        alpha = lr_const * jnp.sqrt(bc2) / bc1
+        es2 = bc2 * (eps * eps)
 
         # ---- backward through the head (L2 on cls weights only,
         # models/mmae.py:346-349).  g tracks the grad wrt each layer's
@@ -1105,8 +1118,8 @@ def _cls_train_kernel(
             gw = jnp.dot(hs[j].T, g,
                          preferred_element_type=jnp.float32) \
                 + wpen * cw_j
-            adam(6 + 2 * j, gw, bc1, bc2)
-            adam(7 + 2 * j, bias_grad_fn(g, cbs[j].shape), bc1, bc2)
+            adam(6 + 2 * j, gw, alpha, es2)
+            adam(7 + 2 * j, bias_grad_fn(g, cbs[j].shape), alpha, es2)
             g = jnp.dot(g, cw_j.T, preferred_element_type=jnp.float32)
         g_emb = g
 
@@ -1166,7 +1179,7 @@ def _cls_train_kernel(
                 mvchunk[s, 1, pl.ds(0, rb), :] = v.astype(mvchunk.dtype)
                 w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH] = (
                     w1s[r * rb:(r + 1) * rb, c * CH:(c + 1) * CH]
-                    - lr_const * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+                    - (alpha * m) * jax.lax.rsqrt(v + es2))
                 out_copy(t, s).start()
             for t in (nt - 2, nt - 1):
                 if t >= 0:
@@ -1177,15 +1190,15 @@ def _cls_train_kernel(
         else:
             adam(0, jnp.dot(xn.T, g1,
                             preferred_element_type=jnp.float32),
-                 bc1, bc2)
-        adam(1, bias_grad_fn(g1, b1s.shape), bc1, bc2)
+                 alpha, es2)
+        adam(1, bias_grad_fn(g1, b1s.shape), alpha, es2)
         adam(2, jnp.dot(a1d.T, gmu,
-                        preferred_element_type=jnp.float32), bc1, bc2)
-        adam(3, bias_grad_fn(gmu, b2s.shape), bc1, bc2)
+                        preferred_element_type=jnp.float32), alpha, es2)
+        adam(3, bias_grad_fn(gmu, b2s.shape), alpha, es2)
         if variational:
             adam(4, jnp.dot(a1d.T, glv,
-                            preferred_element_type=jnp.float32), bc1, bc2)
-            adam(5, bias_grad_fn(glv, bvs.shape), bc1, bc2)
+                            preferred_element_type=jnp.float32), alpha, es2)
+            adam(5, bias_grad_fn(glv, bvs.shape), alpha, es2)
         return 0
 
     jax.lax.fori_loop(0, steps, step_fn, 0)

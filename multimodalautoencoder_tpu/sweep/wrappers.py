@@ -425,6 +425,8 @@ class MMAESweep:
         params, losses = gt.train_grid_sharded(
             self.mesh, rng, cfg, tcfg, self.spec, hyper,
             self.folded, backend=self.backend)
+        t_train = time.time()
+        self.phase_seconds["train"] += t_train - t0
         probe_dev = None
         if (self.probe in ("device", "device-exact")
                 and self._cls_folded is not None):
@@ -433,7 +435,7 @@ class MMAESweep:
                 jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
                                    bi))
         now = time.time()
-        self.phase_seconds["train"] += now - t0
+        self.phase_seconds["probe"] += now - t_train
         return {"bi": bi, "bucket": bucket, "t0": t0,
                 "launch_secs": now - t0, "cfg": cfg,
                 "hyper": hyper, "params": params, "losses": losses,
@@ -505,9 +507,16 @@ class MMAESweep:
                 # persist the completed in-flight bucket before
                 # propagating: a compile/launch failure in bucket N+1
                 # must not discard bucket N's finished work (the serial
-                # loop's durability contract)
-                if inflight is not None:
-                    self._finalize_bucket(inflight, est, len(buckets))
+                # loop's durability contract).  If finalizing the
+                # in-flight bucket itself raises (its device computation
+                # may be what actually failed), the ORIGINAL launch error
+                # still propagates and whatever rows exist are flushed.
+                try:
+                    if inflight is not None:
+                        self._finalize_bucket(inflight, est, len(buckets))
+                except Exception:
+                    pass
+                finally:
                     self.ledger.flush()
                 raise
             if inflight is not None:
@@ -713,37 +722,42 @@ class MMAEClassificationSweep:
                                               "normal"),
         ).validate()
 
-    def _metric_rows(self, preds: np.ndarray, num_configs: int):
-        """Per-config metric columns from (C, K, max_val[, L]) predictions:
-        acc/auc/f1/precision/recall per label + aggregates + noisy/clean
-        slices, nanmean over folds
-        (autoencoder_classification_wrapper.py:239-328,
-        generic_wrapper.py:433-497)."""
-        val_y = np.asarray(self.sup_folded.val_y)       # (K, max_val[, L])
-        val_n = np.asarray(self.sup_folded.val_n)
-        noisy = (np.asarray(self.sup_folded.val_noisy)
-                 if self.sup_folded.val_noisy is not None else None)
-        K = val_y.shape[0]
+    def _metric_battery_launch(self, preds):
+        """Dispatch the whole metric battery on the DEVICE predictions
+        (no host round-trip for the (C, K, R, L) tensor) and return the
+        device result dicts; only the tiny (C, K, L) metric tensors
+        cross the tunnel at finalize time.
+
+        ONE jitted call for the whole battery: metrics are vmapped over
+        (config, fold, label) and the noisy/clean slices computed in the
+        same program — the per-(c, f, l) loop this replaces issued
+        C*K*L*3 tiny dispatches per bucket (~720 at reference scale),
+        each paying the tunnel's dispatch latency."""
+        val_y = self.sup_folded.val_y                   # (K, max_val[, L])
+        val_n = self.sup_folded.val_n
+        noisy = self.sup_folded.val_noisy
         # normalize to (C, K, R, L) / (K, R, L) independently: the
         # backends differ in whether a single label keeps its axis
         if preds.ndim == 3:                              # single-label
             preds = preds[..., None]
         if val_y.ndim == 2:
             val_y = val_y[..., None]
-        L = preds.shape[-1]
-
-        # ONE jitted call for the whole battery: metrics are vmapped over
-        # (config, fold, label) and the noisy/clean slices computed in
-        # the same program — the per-(c, f, l) loop this replaces issued
-        # C*K*L*3 tiny dispatches per bucket (~720 at reference scale),
-        # each paying the tunnel's dispatch latency
-        main, noisy_d, clean_d = _batched_metric_battery(
+        return _batched_metric_battery(
             jnp.asarray(preds, jnp.float32),
             jnp.asarray(val_y, jnp.float32),
             jnp.asarray(val_n, jnp.int32),
             jnp.asarray(noisy) if noisy is not None else None)
+
+    def _metric_rows(self, metrics_dev, num_configs: int):
+        """Per-config metric columns from the launched battery's device
+        results: acc/auc/f1/precision/recall per label + aggregates +
+        noisy/clean slices, nanmean over folds
+        (autoencoder_classification_wrapper.py:239-328,
+        generic_wrapper.py:433-497)."""
+        main, noisy_d, clean_d = metrics_dev
+        noisy = self.sup_folded.val_noisy
         main = {k: np.asarray(v) for k, v in main.items()}   # (C, K, L)
-        if noisy_d is not None:
+        if noisy is not None:
             noisy_d = {k: np.asarray(v) for k, v in noisy_d.items()}
             clean_d = {k: np.asarray(v) for k, v in clean_d.items()}
 
@@ -771,6 +785,67 @@ class MMAEClassificationSweep:
             rows.append(row)
         return rows
 
+    def _launch_bucket(self, bi: int, bucket):
+        """Dispatch one bucket's two-phase training AND its on-device
+        metric battery without materializing anything: JAX queues both on
+        the device and returns, so bucket N's device compute overlaps
+        bucket N+1's host-side tracing/executable loading — the same
+        two-stage software pipeline as MMAESweep (the classification
+        sweep previously serialized launch -> materialize -> metrics per
+        bucket, paying the tunnel's ~1 s dispatch latency unoverlapped)."""
+        t0 = time.time()
+        cfg = self._cfg_for_bucket(bucket[0])
+        mmae_settings = [{
+            "dropout_prob": s.get("mmae_dropout_prob", 1.0),
+            "weight_penalty": s.get("mmae_weight_penalty", 0.0),
+            "activation_function": s.get("mmae_activation_function",
+                                         "relu"),
+        } for s in bucket]
+        hyper = gt.HyperStack.from_settings(mmae_settings, cfg, self.tcfg)
+        chyper = gt.ClassifierHyperStack.from_settings(bucket, cfg)
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
+        params, losses, preds = gt.train_two_phase_sharded(
+            self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
+            hyper, chyper, self.unsup_folded, self.sup_folded,
+            backend=self.backend)
+        t_train = time.time()
+        self.phase_seconds["train"] += t_train - t0
+        # metric battery launched on the DEVICE predictions: only the
+        # (C, K, L) metric tensors cross the tunnel at finalize
+        metrics_dev = self._metric_battery_launch(preds)
+        now = time.time()
+        self.phase_seconds["metrics"] += now - t_train
+        return {"bi": bi, "bucket": bucket, "launch_secs": now - t0,
+                "losses": losses, "metrics": metrics_dev}
+
+    def _finalize_bucket(self, st, est, num_buckets: int) -> None:
+        """Materialize one launched bucket's losses + metric tensors and
+        write its ledger rows.  Per-bucket timing is OWN time (launch +
+        finalize durations), not wall-span — the pipeline interleaves
+        the next bucket's launch before this finalize."""
+        bucket = st["bucket"]
+        t1 = time.time()
+        losses = np.asarray(st["losses"])               # (C, K)
+        self.phase_seconds["train"] += time.time() - t1
+
+        t2 = time.time()
+        metric_rows = self._metric_rows(st["metrics"], len(bucket))
+        self.phase_seconds["metrics"] += time.time() - t2
+
+        bucket_secs = st["launch_secs"] + (time.time() - t1)
+        for c, setting in enumerate(bucket):
+            row = dict(setting)
+            row["val_mmae_loss"] = float(np.mean(losses[c]))
+            row.update(metric_rows[c])
+            row["time_per_setting_s"] = bucket_secs / len(bucket)
+            self.ledger.append(row)
+        est.record(bucket_secs, batch=len(bucket))
+        if self.verbose:
+            print(f"bucket {st['bi'] + 1}/{num_buckets} "
+                  f"({len(bucket)} settings x {self.num_cross_folds} "
+                  f"folds): {bucket_secs:.1f}s; {est.summary()}")
+
     def sweep_all_parameters(self) -> None:
         pending = [s for s in self.list_of_param_settings
                    if not (self.ledger.started_from
@@ -778,44 +853,28 @@ class MMAEClassificationSweep:
         buckets = grid_lib.bucket_settings(pending)
         est = engine.TimeEstimator(self.num_settings,
                                    self.ledger.started_from)
+        inflight = None
         for bi, (key, bucket) in enumerate(buckets):
-            t0 = time.time()
-            cfg = self._cfg_for_bucket(bucket[0])
-            mmae_settings = [{
-                "dropout_prob": s.get("mmae_dropout_prob", 1.0),
-                "weight_penalty": s.get("mmae_weight_penalty", 0.0),
-                "activation_function": s.get("mmae_activation_function",
-                                             "relu"),
-            } for s in bucket]
-            hyper = gt.HyperStack.from_settings(mmae_settings, cfg,
-                                                self.tcfg)
-            chyper = gt.ClassifierHyperStack.from_settings(bucket, cfg)
-
-            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
-            C = len(bucket)
-            params, losses, preds = gt.train_two_phase_sharded(
-                self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
-                hyper, chyper, self.unsup_folded, self.sup_folded,
-                backend=self.backend)
-            losses = np.asarray(losses)[:C]
-            preds = np.asarray(preds)[:C]
-            t_train = time.time() - t0
-            self.phase_seconds["train"] += t_train
-
-            metric_rows = self._metric_rows(preds, len(bucket))
-            self.phase_seconds["metrics"] += time.time() - t0 - t_train
-            bucket_secs = time.time() - t0
-            for c, setting in enumerate(bucket):
-                row = dict(setting)
-                row["val_mmae_loss"] = float(np.mean(losses[c]))
-                row.update(metric_rows[c])
-                row["time_per_setting_s"] = bucket_secs / len(bucket)
-                self.ledger.append(row)
-            est.record(time.time() - t0, batch=len(bucket))
-            if self.verbose:
-                print(f"bucket {bi + 1}/{len(buckets)} "
-                      f"({len(bucket)} settings): {time.time() - t0:.1f}s "
-                      f"(train {t_train:.1f}s); {est.summary()}")
+            try:
+                st = self._launch_bucket(bi, bucket)
+            except Exception:
+                # persist the completed in-flight bucket before
+                # propagating (MMAESweep's durability contract); if the
+                # finalize itself raises, the ORIGINAL launch error still
+                # propagates and existing rows are flushed
+                try:
+                    if inflight is not None:
+                        self._finalize_bucket(inflight, est, len(buckets))
+                except Exception:
+                    pass
+                finally:
+                    self.ledger.flush()
+                raise
+            if inflight is not None:
+                self._finalize_bucket(inflight, est, len(buckets))
+            inflight = st
+        if inflight is not None:
+            self._finalize_bucket(inflight, est, len(buckets))
         self.ledger.flush()
 
     def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:

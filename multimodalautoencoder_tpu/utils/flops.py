@@ -1,0 +1,133 @@
+"""Per-instance-step FLOP / byte accounting for roofline (MFU-style)
+utilization reporting.
+
+The training kernels' throughput is reported in instance-steps/s
+(one instance-step = one Adam step of one (config, fold) cell).  This
+module converts that rate into useful-FLOPs/s and HBM-bytes/s so the
+"compute-bound" claim is a number against the chip's roofline, not a
+sentence.  Counts are USEFUL work (unpadded model dimensions): padding
+lanes do real arithmetic but count as overhead, which is the
+conservative (MFU-style) convention.
+
+Used by tools/utilization_report.py (the README table) and the hardware
+notes in CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+
+
+def train_step_flops(cfg: MMAEConfig, tcfg: TrainConfig) -> Dict[str, float]:
+    """FLOPs of ONE unsupervised training step of ONE (config, fold)
+    instance (ops/train_kernel._train_kernel step_fn): forward + backward
+    matmuls (MXU) and the elementwise corruption/activation/Adam work
+    (VPU).
+
+    Returns {"mxu": flops, "vpu": flops, "total": flops,
+    "adam_elems": per-step Adam-updated elements}.
+    """
+    cfg = cfg.validate()
+    B = tcfg.batch_size
+    F = cfg.num_feats
+    H1, H2 = cfg.layer_sizes
+
+    # ---- MXU: 2*m*n*k per matmul ------------------------------------
+    # forward: x@W1, a1@W2, z2@W3, a3@W4 (+ a1@Wv for the VAE head)
+    fwd = 2 * B * (F * H1 + H1 * H2 + H2 * H1 + H1 * F)
+    if cfg.variational:
+        fwd += 2 * B * H1 * H2
+    # backward data grads: g4@W4^T, g3@W3^T, g2@W2^T (+ glv@Wv^T)
+    bwd_data = 2 * B * (F * H1 + H1 * H2 + H2 * H1)
+    if cfg.variational:
+        bwd_data += 2 * B * H2 * H1
+    # weight grads: xn^T@g1, a1^T@g2, z2^T@g3, a3^T@g4 (+ a1^T@glv);
+    # tied weights accumulate four products into two tensors — same FLOPs
+    bwd_w = 2 * B * (F * H1 + H1 * H2 + H2 * H1 + H1 * F)
+    if cfg.variational:
+        bwd_w += 2 * B * H1 * H2
+    mxu = float(fwd + bwd_data + bwd_w)
+
+    # ---- VPU: elementwise ------------------------------------------
+    # corruption + activations + dropout + loss grad ~ O(B*F + B*H1)
+    # passes; Adam: per updated element, m update (3), v update (4),
+    # p update in the rsqrt form (4: add, rsqrt, 2 mul+sub fused-ish)
+    w_elems = F * H1 + H1 * H2
+    if not cfg.tie_weights:
+        w_elems += H2 * H1 + H1 * F
+    if cfg.variational:
+        w_elems += H1 * H2
+    b_elems = 2 * H1 + H2 + F + (H2 if cfg.variational else 0)
+    adam_elems = w_elems + b_elems
+    act_passes = 12.0            # measured-order estimate, not exact
+    vpu = float(act_passes * B * (F + H1 + H2) + 11.0 * adam_elems)
+
+    return {"mxu": mxu, "vpu": vpu, "total": mxu + vpu,
+            "adam_elems": float(adam_elems)}
+
+
+def train_step_hbm_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
+                         backend: str = "pallas") -> float:
+    """HBM bytes moved per instance-step.
+
+    ``backend='pallas'``: the VMEM-resident kernel touches HBM only for
+    the sampled batch panels (8-row aligned DMAs) plus, for streamed
+    shapes, the W1/W4 moment tiles each way.
+    ``backend='xla'``: every step re-reads params + re-reads/writes both
+    Adam moments and writes params (the measured bound of the XLA grid
+    trainer).
+    """
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+
+    cfg = cfg.validate()
+    B = tcfg.batch_size
+    F = cfg.num_feats
+    H1, H2 = cfg.layer_sizes
+    state_b = 2 if tcfg.optimizer_state_dtype == "bfloat16" else 4
+    w_elems = F * H1 + H1 * H2
+    if not cfg.tie_weights:
+        w_elems += H2 * H1 + H1 * F
+    if cfg.variational:
+        w_elems += H1 * H2
+    b_elems = 2 * H1 + H2 + F + (H2 if cfg.variational else 0)
+    n_elems = w_elems + b_elems
+
+    if backend == "xla":
+        # params read+write (f32) + m,v read+write (state dtype)
+        return float(n_elems * (2 * 4 + 4 * state_b)
+                     + B * tk._pad_to(F, tk.LANE) * 4)
+
+    panels = B * tk.SUB * tk._pad_to(F, tk.LANE) * 4
+    streamed = 0.0
+    if tk.needs_streaming(cfg, tcfg):
+        Fp = tk._pad_to(F, tk.LANE)
+        H1p = tk._pad_to(H1, tk.LANE)
+        streamed = 2.0 * 2.0 * (Fp * H1p + H1p * Fp) * state_b
+    return float(panels + streamed)
+
+
+# Peak numbers for one TPU v5e core (public spec: 197 TFLOP/s bf16 /
+# ~98 TFLOP/s f32 per chip, 819 GB/s HBM; one chip = one core on v5e).
+V5E_PEAK_F32_FLOPS = 9.85e13
+V5E_PEAK_HBM_BYTES = 8.19e11
+
+
+def utilization_row(name: str, cfg: MMAEConfig, tcfg: TrainConfig,
+                    inst_steps_per_s: float,
+                    backend: str = "pallas") -> Dict[str, float]:
+    """One roofline table row from a measured instance-steps/s rate."""
+    fl = train_step_flops(cfg, tcfg)
+    hbm = train_step_hbm_bytes(cfg, tcfg, backend)
+    flops_s = fl["total"] * inst_steps_per_s
+    hbm_s = hbm * inst_steps_per_s
+    return {
+        "name": name,
+        "inst_steps_per_s": inst_steps_per_s,
+        "useful_gflops_per_s": flops_s / 1e9,
+        "pct_f32_peak": 100.0 * flops_s / V5E_PEAK_F32_FLOPS,
+        "hbm_gb_per_s": hbm_s / 1e9,
+        "pct_hbm_peak": 100.0 * hbm_s / V5E_PEAK_HBM_BYTES,
+        "adam_gelems_per_s": fl["adam_elems"] * inst_steps_per_s / 1e9,
+    }

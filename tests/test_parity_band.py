@@ -30,7 +30,7 @@ def load_band():
 def test_xla_backend_inside_band():
     band = load_band()
     obs = parity.reference_recipe_observables(
-        backend="xla", seeds=(0, 1, 2),
+        backend="xla", num_runs=3,
         num_steps=band["recipe"]["num_steps"])
     problems = parity.check_band(obs, band)
     assert not problems, "\n".join(problems)
@@ -40,7 +40,7 @@ def test_band_rejects_untrained_model():
     """The band must discriminate: a model that didn't train (1 step)
     falls outside the noisy-val-loss band."""
     band = load_band()
-    obs = parity.reference_recipe_observables(backend="xla", seeds=(0,),
+    obs = parity.reference_recipe_observables(backend="xla", num_runs=1,
                                               num_steps=1)
     problems = parity.check_band(obs, band)
     assert any("noisy_val_loss" in p for p in problems)

@@ -160,7 +160,7 @@ def test_parity_band_on_hardware(backend):
     with open(band_path) as f:
         band = json.load(f)
     obs = parity.reference_recipe_observables(
-        backend=backend, seeds=(0, 1, 2),
+        backend=backend, num_runs=3,
         num_steps=band["recipe"]["num_steps"])
     problems = parity.check_band(obs, band)
     assert not problems, "\n".join(problems)
