@@ -1230,7 +1230,7 @@ def train_two_phase_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig,
     statics = two_phase_statics(cfg, tcfg, cls_tcfg, spec, num_steps,
                                 cls_num_steps, interpret, force_stream,
                                 adam_eps)
-    fn = _cached_two_phase(*statics)
+    fn = _cached_two_phase_split(*statics)
     return fn(rng, spec, hyper, chyper, unsup_folded, sup_folded)
 
 
@@ -1282,16 +1282,74 @@ def _cached_two_phase(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
         adam_eps=adam_eps))
 
 
+@functools.lru_cache(maxsize=128)
+def _cached_two_phase_split(cfg, tcfg, cls_tcfg, num_steps,
+                            cls_num_steps, interpret, elem_p,
+                            force_stream=False, adam_eps=1e-8):
+    """The two-phase pipeline as TWO jitted dispatches (phase 1, then
+    phase 2) with the SAME key derivation as the fused program — results
+    are identical; intermediates (phase-1 params) stay on device.
+
+    This is the real-chip default: the fused program's device time at
+    reference scale (~2+ min for streamed untied/VAE-1000 buckets)
+    reproducibly crashed the tunnel worker ('TPU worker process crashed
+    or restarted'); each phase alone runs fine, and the extra dispatch
+    costs ~1 s against a ~100 s bucket.  The shard_map path
+    (two_phase_from_statics) keeps the fused single program."""
+    p1 = jax.jit(functools.partial(
+        _pipeline, cfg=_phase1_cfg(cfg), tcfg=tcfg, num_steps=num_steps,
+        interpret=interpret, elem_p=elem_p))
+    p2 = jax.jit(functools.partial(
+        _phase2_body, cfg=cfg, cls_tcfg=cls_tcfg,
+        cls_num_steps=cls_num_steps, interpret=interpret, elem_p=elem_p,
+        force_stream=force_stream, adam_eps=adam_eps))
+
+    def run(rng, spec, hyper, chyper, unsup_folded, sup_folded):
+        k_p1, k_cls_init, k_p2, k_eval = jax.random.split(rng, 4)
+        params1, losses = p1(k_p1, spec, hyper, unsup_folded)
+        params, preds = p2(k_cls_init, k_p2, k_eval, params1, spec,
+                           hyper, chyper, sup_folded)
+        return params, losses, preds
+
+    return run
+
+
 def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
                         sup_folded, *, cfg, tcfg, cls_tcfg, num_steps,
                         cls_num_steps, interpret, elem_p,
                         force_stream=False, adam_eps=1e-8):
+    k_p1, k_cls_init, k_p2, k_eval = jax.random.split(rng, 4)
+
+    # ---- phase 1: the existing kernel pipeline (headless cfg) ----------
+    params1, losses = _pipeline(k_p1, spec, hyper, unsup_folded,
+                                cfg=_phase1_cfg(cfg), tcfg=tcfg,
+                                num_steps=num_steps, interpret=interpret,
+                                elem_p=elem_p)
+    params, preds = _phase2_body(
+        k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
+        sup_folded, cfg=cfg, cls_tcfg=cls_tcfg,
+        cls_num_steps=cls_num_steps, interpret=interpret, elem_p=elem_p,
+        force_stream=force_stream, adam_eps=adam_eps)
+    return params, losses, preds
+
+
+def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
+                 sup_folded, *, cfg, cls_tcfg, cls_num_steps, interpret,
+                 elem_p, force_stream=False, adam_eps=1e-8):
+    """Phase 2 of the two-phase pipeline: fresh head init + the
+    classification kernel + the XLA prediction evaluator.  Split out so
+    the real-chip path can dispatch the phases as TWO programs: the
+    fused (p1 + p2) program's device time at full reference scale
+    (~2+ min for the streamed untied/VAE-1000 buckets) reproducibly
+    crashed the tunnel-attached TPU worker, while each phase alone runs
+    fine — an execution-duration limit, not a kernel property.  Keys
+    come from the same ``jax.random.split(rng, 4)`` as the fused
+    pipeline, so both paths produce identical results."""
     from multimodalautoencoder_tpu.models import losses as losses_lib
     from multimodalautoencoder_tpu.models import mmae
 
-    cfg1 = _phase1_cfg(cfg)
     C = hyper.num_configs
-    K = unsup_folded.train_x.shape[0]
+    K = sup_folded.train_x.shape[0]
     N = C * K
     F = cfg.num_feats
     H1, H2 = cfg.layer_sizes
@@ -1309,13 +1367,6 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
     state_dt = (jnp.bfloat16
                 if cls_tcfg.optimizer_state_dtype == "bfloat16"
                 else jnp.float32)
-
-    k_p1, k_cls_init, k_p2, k_eval = jax.random.split(rng, 4)
-
-    # ---- phase 1: the existing kernel pipeline (headless cfg) ----------
-    params1, losses = _pipeline(k_p1, spec, hyper, unsup_folded, cfg=cfg1,
-                                tcfg=tcfg, num_steps=num_steps,
-                                interpret=interpret, elem_p=elem_p)
 
     # ---- fresh classification-head init (same initializer family as
     # mmae.init; phase 2 re-initializes the head, set_classification_params
@@ -1532,4 +1583,4 @@ def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,
 
     preds = jax.vmap(per_config)(params, hyper.act_id, chyper.cls_act_id,
                                  eval_keys)
-    return params, losses, preds
+    return params, preds

@@ -569,7 +569,10 @@ def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
         if mesh.shape[mesh_lib.CONFIG_AXIS] > 1:
             fn = _two_phase_sharded_jit(mesh, *statics)
         else:
-            fn = train_kernel._cached_two_phase(*statics)
+            # two dispatches (phase 1, then phase 2): the fused program
+            # crashed the tunnel worker at reference scale (duration
+            # limit); results identical (train_kernel docstring)
+            fn = train_kernel._cached_two_phase_split(*statics)
         params, losses, preds = fn(rng, spec, hyper, chyper,
                                    unsup_folded, sup_folded)
     else:
