@@ -50,6 +50,29 @@ def test_baseline_cli(csv_path, tmp_path):
     assert out
 
 
+def test_baseline_cli_z_score_normalization(csv_path, tmp_path, capsys):
+    """--normalization z_score is the reference baseline CLIs'
+    Z_SCORE_FILL_WITH_0 dataset-prep mode (comparison_algorithms/
+    svm.py:14,143-150: z-score normalize, scattered NaN filled with
+    the default 0)."""
+    rc = cli.main(["baseline", "lr", csv_path, "happy_label",
+                   "--results-path", str(tmp_path), "--folds", "2",
+                   "--normalize-and-fill", "--normalization", "z_score"])
+    assert rc == 0
+    out = [f for f in os.listdir(tmp_path) if f.startswith("LR-")]
+    assert out
+    # the loader actually ran in z-score mode: feature columns are
+    # centered, not min-max scaled into [0, 1]
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+
+    dl = DataLoader(csv_path, supervised=True, cross_validation=True,
+                    suppress_output=True, normalize_and_fill=True,
+                    normalization="z_score", fill_gaps_with=-1.0)
+    import numpy as np
+
+    assert np.asarray(dl.train_X).min() < -0.5   # z-scored, not [0, 1]
+
+
 def test_feature_select_cli(csv_path):
     rc = cli.main(["feature-select", csv_path, "pca", "5",
                    "--fill-missing", "0.0"])
