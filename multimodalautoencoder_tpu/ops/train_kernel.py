@@ -24,6 +24,15 @@ Memory design (v5e has 16 MB VMEM/core):
   ``supported()`` includes a VMEM budget check; shapes that cannot fit
   (e.g. untied 1000->100 at 1000 features) fall back to the XLA trainer.
 
+Dispatch-duration caveat (measured 2026-08-17): the tunnel-attached TPU
+worker crashes when ONE dispatched program runs ~2+ minutes of device
+time.  At reference scale every single-phase program here is <=60 s, but
+the fused two-phase program for streamed shapes was not — hence the
+split two-dispatch path (``_cached_two_phase_split``).  If step counts
+ever grow ~4x beyond the reference's 15000, chunk the run across
+dispatches (params persist between kernel calls; Adam moments would need
+to ride HBM in/out to resume exactly).
+
 Scope (the ACII sweep's shape family):
   - 2 encoder layers (in -> H1 -> H2), mirrored decoder, tied or untied
   - sigmoid cross-entropy loss (the sweep's fixed loss,

@@ -1,0 +1,55 @@
+"""Roofline accounting (utils/flops.py): sanity pins so the README's
+utilization table can't silently drift from the cost model."""
+
+from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+from multimodalautoencoder_tpu.utils import flops
+
+
+def cfg(**kw):
+    base = dict(num_feats=300, layer_sizes=(300, 100), tie_weights=True,
+                loss="sigmoid_cross_entropy")
+    base.update(kw)
+    return MMAEConfig(**base).validate()
+
+
+TCFG = TrainConfig(learning_rate=1e-3, batch_size=20, num_steps=15000,
+                   clip_gradients=False, optimizer_state_dtype="bfloat16")
+
+
+def test_flops_positive_and_monotone():
+    small = flops.train_step_flops(cfg(), TCFG)
+    big = flops.train_step_flops(
+        cfg(num_feats=1000, layer_sizes=(1000, 100)), TCFG)
+    assert 0 < small["total"] < big["total"]
+    assert small["mxu"] > small["vpu"]          # matmuls dominate FLOPs
+    # tied vs untied: same matmul FLOPs, fewer Adam elements
+    untied = flops.train_step_flops(cfg(tie_weights=False), TCFG)
+    assert untied["mxu"] == small["mxu"]
+    assert untied["adam_elems"] > small["adam_elems"]
+    # VAE adds the variance head everywhere
+    vae = flops.train_step_flops(
+        cfg(tie_weights=False, variational=True), TCFG)
+    assert vae["mxu"] > untied["mxu"]
+    assert vae["adam_elems"] > untied["adam_elems"]
+
+
+def test_hbm_bytes_kernel_vs_xla():
+    c = cfg(num_feats=1000, layer_sizes=(1000, 100), tie_weights=False)
+    xla = flops.train_step_hbm_bytes(c, TCFG, "xla")
+    pallas = flops.train_step_hbm_bytes(c, TCFG, "pallas")
+    assert xla > pallas > 0
+    # the VMEM-resident (non-streamed) shape touches only batch panels
+    resident = flops.train_step_hbm_bytes(cfg(), TCFG, "pallas")
+    assert resident < 1e6                        # ~0.25 MB
+    # f32 moments double the streamed traffic component
+    import dataclasses
+
+    f32 = dataclasses.replace(TCFG, optimizer_state_dtype="float32")
+    assert flops.train_step_hbm_bytes(c, f32, "pallas") > 1.7 * pallas
+
+
+def test_utilization_row_units():
+    r = flops.utilization_row("x", cfg(), TCFG, 251_000)
+    assert 0 < r["pct_f32_peak"] < 100
+    assert 0 < r["pct_hbm_peak"] < 100
+    assert r["useful_gflops_per_s"] > 1000       # multi-TFLOP/s regime
