@@ -131,7 +131,10 @@ def main():
             "unit": ("configs/hour, MEASURED end-to-end MMAESweep.run() "
                      "(108cfg x 5fold x 15k steps, probe+ledger on; "
                      f"wall {wall:.1f}s = train {ph['train']:.0f}s "
-                     f"+ probe {ph['probe']:.0f}s + other "
+                     f"(launch {ph['train_launch']:.0f}/wait "
+                     f"{ph['train_wait']:.0f}) + probe {ph['probe']:.0f}s "
+                     f"(launch {ph['probe_launch']:.0f}/wait "
+                     f"{ph['probe_wait']:.0f}) + other "
                      f"{wall - ph['train'] - ph['probe']:.0f}s; "
                      f"chip canary {canary / 1000:.0f}k inst-steps/s)"),
             "vs_baseline": round(

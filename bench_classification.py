@@ -100,8 +100,12 @@ def main():
                      f"MMAEClassificationSweep.run() — {tag}, "
                      f"{FOLDS}-fold CV x (15k+15k) steps, metric "
                      f"battery + ledger on; wall {wall:.1f}s = train "
-                     f"{ph['train']:.0f}s + metrics "
-                     f"{ph['metrics']:.0f}s + other "
+                     f"{ph['train']:.0f}s (launch "
+                     f"{ph['train_launch']:.0f}/wait "
+                     f"{ph['train_wait']:.0f}) + metrics "
+                     f"{ph['metrics']:.0f}s (launch "
+                     f"{ph['metrics_launch']:.0f}/wait "
+                     f"{ph['metrics_wait']:.0f}) + other "
                      f"{wall - ph['train'] - ph['metrics']:.0f}s; chip "
                      f"canary {canary / 1000:.0f}k inst-steps/s"),
             "vs_baseline": round(cfg_hr / baseline, 3),

@@ -151,7 +151,14 @@ class MMAESweep:
         # probe incl. metric pulls) — the observability the reference
         # lacks entirely (it prints only whole-setting ETAs,
         # generic_wrapper.py:305-315)
-        self.phase_seconds = {"train": 0.0, "probe": 0.0}
+        self.phase_seconds = {"train": 0.0, "probe": 0.0,
+                              # sub-phases (also counted in the two
+                              # totals above): host-side dispatch/trace
+                              # time vs device-result materialization
+                              # waits — separates "host critical path"
+                              # from "waiting on the chip"
+                              "train_launch": 0.0, "train_wait": 0.0,
+                              "probe_launch": 0.0, "probe_wait": 0.0}
         self.probe = probe if classification_data_loader is not None else None
         self.probe_rff_dim = int(probe_rff_dim)
         self.svm_Cs = svm_Cs
@@ -427,6 +434,7 @@ class MMAESweep:
             self.folded, backend=self.backend)
         t_train = time.time()
         self.phase_seconds["train"] += t_train - t0
+        self.phase_seconds["train_launch"] += t_train - t0
         probe_dev = None
         if (self.probe in ("device", "device-exact")
                 and self._cls_folded is not None):
@@ -436,6 +444,7 @@ class MMAESweep:
                                    bi))
         now = time.time()
         self.phase_seconds["probe"] += now - t_train
+        self.phase_seconds["probe_launch"] += now - t_train
         return {"bi": bi, "bucket": bucket, "t0": t0,
                 "launch_secs": now - t0, "cfg": cfg,
                 "hyper": hyper, "params": params, "losses": losses,
@@ -455,6 +464,7 @@ class MMAESweep:
         t1 = time.time()
         losses = np.asarray(st["losses"])            # (C, K)
         self.phase_seconds["train"] += time.time() - t1
+        self.phase_seconds["train_wait"] += time.time() - t1
 
         t2 = time.time()
         probe_rows = None
@@ -465,6 +475,7 @@ class MMAESweep:
             probe_rows = self._device_probe_rows(
                 np.asarray(st["probe"]), len(bucket))
         self.phase_seconds["probe"] += time.time() - t2
+        self.phase_seconds["probe_wait"] += time.time() - t2
 
         if self.save_best_params:
             mean_losses = losses.mean(axis=1)
@@ -630,7 +641,11 @@ class MMAEClassificationSweep:
         # per-phase wall-clock accumulated across buckets ('train' =
         # both training phases + prediction materialization; 'metrics' =
         # the host-side metric battery + ledger rows)
-        self.phase_seconds = {"train": 0.0, "metrics": 0.0}
+        self.phase_seconds = {"train": 0.0, "metrics": 0.0,
+                              # sub-phases (counted in the totals):
+                              # host dispatch/trace vs device waits
+                              "train_launch": 0.0, "train_wait": 0.0,
+                              "metrics_launch": 0.0, "metrics_wait": 0.0}
         self.data_loader = data_loader
         self.cls_loader = classification_data_loader
         self.num_cross_folds = num_cross_folds
@@ -811,11 +826,13 @@ class MMAEClassificationSweep:
             backend=self.backend)
         t_train = time.time()
         self.phase_seconds["train"] += t_train - t0
+        self.phase_seconds["train_launch"] += t_train - t0
         # metric battery launched on the DEVICE predictions: only the
         # (C, K, L) metric tensors cross the tunnel at finalize
         metrics_dev = self._metric_battery_launch(preds)
         now = time.time()
         self.phase_seconds["metrics"] += now - t_train
+        self.phase_seconds["metrics_launch"] += now - t_train
         return {"bi": bi, "bucket": bucket, "launch_secs": now - t0,
                 "losses": losses, "metrics": metrics_dev}
 
@@ -828,10 +845,12 @@ class MMAEClassificationSweep:
         t1 = time.time()
         losses = np.asarray(st["losses"])               # (C, K)
         self.phase_seconds["train"] += time.time() - t1
+        self.phase_seconds["train_wait"] += time.time() - t1
 
         t2 = time.time()
         metric_rows = self._metric_rows(st["metrics"], len(bucket))
         self.phase_seconds["metrics"] += time.time() - t2
+        self.phase_seconds["metrics_wait"] += time.time() - t2
 
         bucket_secs = st["launch_secs"] + (time.time() - t1)
         for c, setting in enumerate(bucket):
