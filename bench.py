@@ -112,17 +112,26 @@ def main():
 
         canary = _wait_for_healthy_chip()
 
-        t0 = time.perf_counter()
-        sweep = MMAESweep(
-            unsup, sup,
-            results_path=os.path.join(workdir, "results"),
-            num_steps=FULL_STEPS, num_cross_folds=FOLDS,
-            probe="device", verbose=False)
-        assert sweep.num_settings == 108, sweep.num_settings
-        best, _, extras = sweep.run()
-        wall = time.perf_counter() - t0
-
-        configs_per_hour = sweep.num_settings / (wall / 3600.0)
+        # two passes: pass 1 absorbs whatever one-time tracing /
+        # compile-cache / REMOTE-COMPILE-SERVER loading this process
+        # and session happen to need (measured spread: 143-239 s wall
+        # for the same software depending only on server-cache warmth);
+        # pass 2 is the recorded steady-state number.  Pass 1's rate is
+        # reported alongside so cold-path cost stays visible.
+        rates, walls = [], []
+        for run_i in range(2):
+            t0 = time.perf_counter()
+            sweep = MMAESweep(
+                unsup, sup,
+                results_path=os.path.join(workdir, f"results{run_i}"),
+                num_steps=FULL_STEPS, num_cross_folds=FOLDS,
+                probe="device", verbose=False)
+            assert sweep.num_settings == 108, sweep.num_settings
+            best, _, extras = sweep.run()
+            walls.append(time.perf_counter() - t0)
+            rates.append(sweep.num_settings / (walls[-1] / 3600.0))
+        wall = walls[-1]
+        configs_per_hour = rates[-1]
         baseline_configs_per_hour = 648.0   # 108 configs / 10 min target
         ph = sweep.phase_seconds
         print(json.dumps({
@@ -130,6 +139,8 @@ def main():
             "value": round(configs_per_hour, 2),
             "unit": ("configs/hour, MEASURED end-to-end MMAESweep.run() "
                      "(108cfg x 5fold x 15k steps, probe+ledger on; "
+                     "warm pass of 2, first pass "
+                     f"{rates[0]:.0f}/hr in {walls[0]:.1f}s; "
                      f"wall {wall:.1f}s = train {ph['train']:.0f}s "
                      f"(launch {ph['train_launch']:.0f}/wait "
                      f"{ph['train_wait']:.0f}) + probe {ph['probe']:.0f}s "
@@ -143,6 +154,7 @@ def main():
             # never recovered inside the wait budget the headline number
             # measured a degraded chip, not this software
             "canary_inst_steps_per_s": round(canary),
+            "first_pass_configs_per_hour": round(rates[0], 2),
             "degraded": bool(canary < CANARY_HEALTHY),
         }))
     finally:
