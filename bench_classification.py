@@ -86,6 +86,10 @@ def main():
         assert sweep.num_settings == expected, sweep.num_settings
         sweep.run()
         wall = time.perf_counter() - t0
+        # post-run canary: the degraded mode is triggered by sustained
+        # load, so only an after-measurement can vouch for this run
+        canary_after = 0.0 if args.skip_canary else \
+            bench_mod._canary_rate()
 
         cfg_hr = sweep.num_settings / (wall / 3600.0)
         # baseline: the MMAE-sweep target rate (648 configs/hr for
@@ -110,8 +114,10 @@ def main():
                      f"canary {canary / 1000:.0f}k inst-steps/s"),
             "vs_baseline": round(cfg_hr / baseline, 3),
             "canary_inst_steps_per_s": round(canary),
+            "canary_after_inst_steps_per_s": round(canary_after),
             "degraded": bool(not args.skip_canary
-                             and canary < bench_mod.CANARY_HEALTHY),
+                             and min(canary, canary_after)
+                             < bench_mod.CANARY_HEALTHY),
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -47,12 +47,18 @@ def _loader(path, supervised, args, wanted_label=None,
             labels_to_sign=False):
     from multimodalautoencoder_tpu.data.loader import DataLoader
 
+    normalization = getattr(args, "normalization", "between_0_and_1")
+    # gap sentinel only in the 0-1 prep: the reference's
+    # Z_SCORE_FILL_WITH_0 mode never sets fill_gaps (svm.py:143-150 ->
+    # data_funcs.py:386,416-420), so whole-modality gaps fall through to
+    # the fill-missing 0.0 like every other NaN
+    fill_gaps = (-1.0 if (args.normalize_and_fill
+                          and normalization == "between_0_and_1")
+                 else None)
     return DataLoader(path, supervised=supervised, cross_validation=True,
                       normalize_and_fill=args.normalize_and_fill,
-                      normalization=getattr(args, "normalization",
-                                            "between_0_and_1"),
-                      fill_gaps_with=(-1.0 if args.normalize_and_fill
-                                      else None),
+                      normalization=normalization,
+                      fill_gaps_with=fill_gaps,
                       wanted_label=wanted_label,
                       labels_to_sign=labels_to_sign, seed=args.seed,
                       engine=args.engine)

@@ -1281,17 +1281,6 @@ def two_phase_from_statics(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
 
 
 @functools.lru_cache(maxsize=128)
-def _cached_two_phase(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
-                      interpret, elem_p, force_stream=False,
-                      adam_eps=1e-8):
-    return jax.jit(functools.partial(
-        _two_phase_pipeline, cfg=cfg, tcfg=tcfg, cls_tcfg=cls_tcfg,
-        num_steps=num_steps, cls_num_steps=cls_num_steps,
-        interpret=interpret, elem_p=elem_p, force_stream=force_stream,
-        adam_eps=adam_eps))
-
-
-@functools.lru_cache(maxsize=128)
 def _cached_two_phase_split(cfg, tcfg, cls_tcfg, num_steps,
                             cls_num_steps, interpret, elem_p,
                             force_stream=False, adam_eps=1e-8):
@@ -1305,9 +1294,11 @@ def _cached_two_phase_split(cfg, tcfg, cls_tcfg, num_steps,
     or restarted'); each phase alone runs fine, and the extra dispatch
     costs ~1 s against a ~100 s bucket.  The shard_map path
     (two_phase_from_statics) keeps the fused single program."""
-    p1 = jax.jit(functools.partial(
-        _pipeline, cfg=_phase1_cfg(cfg), tcfg=tcfg, num_steps=num_steps,
-        interpret=interpret, elem_p=elem_p))
+    # phase 1 IS the MMAE sweep's pipeline — reuse its cached jit so a
+    # process running both sweeps over the same shape family traces and
+    # loads the phase-1 executable once
+    p1 = _cached_pipeline(_phase1_cfg(cfg), tcfg, num_steps, interpret,
+                          elem_p)
     p2 = jax.jit(functools.partial(
         _phase2_body, cfg=cfg, cls_tcfg=cls_tcfg,
         cls_num_steps=cls_num_steps, interpret=interpret, elem_p=elem_p,

@@ -61,16 +61,24 @@ def test_baseline_cli_z_score_normalization(csv_path, tmp_path, capsys):
     assert rc == 0
     out = [f for f in os.listdir(tmp_path) if f.startswith("LR-")]
     assert out
-    # the loader actually ran in z-score mode: feature columns are
-    # centered, not min-max scaled into [0, 1]
-    from multimodalautoencoder_tpu.data.loader import DataLoader
+    # the CLI's own loader wiring ran in z-score mode: build the loader
+    # exactly as cmd_baseline does and check the prep discriminates.
+    # -1.5 is below the between_0_and_1+gap-sentinel minimum of -1.0,
+    # so this only passes if z-scoring actually happened; and the
+    # reference's Z_SCORE_FILL_WITH_0 mode fills modality gaps with 0,
+    # not the -1.0 sentinel (svm.py:143-150 -> data_funcs.py:416-420)
+    import argparse
 
-    dl = DataLoader(csv_path, supervised=True, cross_validation=True,
-                    suppress_output=True, normalize_and_fill=True,
-                    normalization="z_score", fill_gaps_with=-1.0)
     import numpy as np
 
-    assert np.asarray(dl.train_X).min() < -0.5   # z-scored, not [0, 1]
+    ns = argparse.Namespace(normalize_and_fill=True,
+                            normalization="z_score", seed=0,
+                            engine="pandas")
+    dl = cli._loader(csv_path, True, ns, wanted_label="happy_label")
+    X = np.asarray(dl.train_X)
+    assert X.min() < -1.5                        # z-scored, not [0, 1]
+    assert not np.isclose(X, -1.0).all(axis=1).any()  # no sentinel rows
+    assert dl.fill_gaps_with is None
 
 
 def test_feature_select_cli(csv_path):
