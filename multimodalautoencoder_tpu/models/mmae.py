@@ -113,17 +113,29 @@ def init(rng: Array, cfg: MMAEConfig) -> MMAEParams:
     cls_w: Tuple[Array, ...] = ()
     cls_b: Tuple[Array, ...] = ()
     if cfg.classification_layer_sizes is not None:
-        cls_sizes = ((cfg.embedding_size,) + tuple(cfg.classification_layer_sizes)
-                     + (cfg.num_labels,))
-        ckeys = jax.random.split(keys[2 * n_layers + 1], len(cls_sizes) - 1)
-        cls_w = tuple(
-            _init_weight(ckeys[i], (cls_sizes[i], cls_sizes[i + 1]),
-                         cfg.weight_initialization, cfg.xavier_const)
-            for i in range(len(cls_sizes) - 1))
-        cls_b = tuple(jnp.full((cls_sizes[i + 1],), 0.1, jnp.float32)
-                      for i in range(len(cls_sizes) - 1))
+        cls_w, cls_b = init_head(keys[2 * n_layers + 1], cfg)
 
     return MMAEParams(enc_w, enc_b, dec_w, dec_b, var_w, var_b, cls_w, cls_b)
+
+
+def init_head(rng: Array, cfg: MMAEConfig
+              ) -> Tuple[Tuple[Array, ...], Tuple[Array, ...]]:
+    """Fresh classification-head parameters only (the reference
+    re-initializes the head before phase 2: set_classification_params ->
+    rebuild_reinitialize, multimodal_autoencoder.py:898-930).  Split out
+    of :func:`init` so phase-2 trainers can attach a fresh head to a
+    headless phase-1 parameter stack."""
+    cls_sizes = ((cfg.embedding_size,)
+                 + tuple(cfg.classification_layer_sizes)
+                 + (cfg.num_labels,))
+    ckeys = jax.random.split(rng, len(cls_sizes) - 1)
+    cls_w = tuple(
+        _init_weight(ckeys[i], (cls_sizes[i], cls_sizes[i + 1]),
+                     cfg.weight_initialization, cfg.xavier_const)
+        for i in range(len(cls_sizes) - 1))
+    cls_b = tuple(jnp.full((cls_sizes[i + 1],), 0.1, jnp.float32)
+                  for i in range(len(cls_sizes) - 1))
+    return cls_w, cls_b
 
 
 def _matmul(x: Array, w: Array, cfg: MMAEConfig) -> Array:

@@ -1299,10 +1299,8 @@ def _cached_two_phase_split(cfg, tcfg, cls_tcfg, num_steps,
     # loads the phase-1 executable once
     p1 = _cached_pipeline(_phase1_cfg(cfg), tcfg, num_steps, interpret,
                           elem_p)
-    p2 = jax.jit(functools.partial(
-        _phase2_body, cfg=cfg, cls_tcfg=cls_tcfg,
-        cls_num_steps=cls_num_steps, interpret=interpret, elem_p=elem_p,
-        force_stream=force_stream, adam_eps=adam_eps))
+    p2 = _cached_phase2(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
+                        interpret, elem_p, force_stream, adam_eps)
 
     def run(rng, spec, hyper, chyper, unsup_folded, sup_folded):
         k_p1, k_cls_init, k_p2, k_eval = jax.random.split(rng, 4)
@@ -1312,6 +1310,22 @@ def _cached_two_phase_split(cfg, tcfg, cls_tcfg, num_steps,
         return params, losses, preds
 
     return run
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_phase2(cfg, tcfg, cls_tcfg, num_steps, cls_num_steps,
+                   interpret, elem_p, force_stream=False, adam_eps=1e-8):
+    """Phase 2 alone as one jitted dispatch — the second half of
+    :func:`_cached_two_phase_split` (which uses this cache, so the HLO
+    is byte-identical whether phase 2 runs after a per-bucket phase 1 or
+    on a SHARED phase-1 stack gathered by the sweep's dedup path,
+    grid_trainer.train_phase2_shared_sharded — the remote compile cache
+    then serves both callers one executable per shape).  ``tcfg`` /
+    ``num_steps`` are cache-key only (the split path's statics tuple)."""
+    return jax.jit(functools.partial(
+        _phase2_body, cfg=cfg, cls_tcfg=cls_tcfg,
+        cls_num_steps=cls_num_steps, interpret=interpret, elem_p=elem_p,
+        force_stream=force_stream, adam_eps=adam_eps))
 
 
 def _two_phase_pipeline(rng, spec, hyper, chyper, unsup_folded,

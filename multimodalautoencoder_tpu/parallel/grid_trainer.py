@@ -504,6 +504,48 @@ train_classification_grid_jit = jax.jit(
     train_classification_grid, static_argnames=("cfg", "tcfg", "num_steps"))
 
 
+def attach_fresh_heads(rng: Array, cfg: MMAEConfig, params_headless):
+    """Fresh per-(config, fold) classification-head init merged onto a
+    headless phase-1 parameter stack (the reference re-initializes the
+    head before phase 2: set_classification_params ->
+    rebuild_reinitialize, multimodal_autoencoder.py:898-930)."""
+    C, K = params_headless.enc_b[0].shape[:2]
+    inst_keys = jax.random.split(rng, C * K).reshape(C, K, 2)
+
+    def one(k, p):
+        cls_w, cls_b = mmae.init_head(k, cfg)
+        return p._replace(cls_w=cls_w, cls_b=cls_b)
+
+    return jax.vmap(jax.vmap(one))(inst_keys, params_headless)
+
+
+def train_classification_dedup_grid(rng: Array, cfg: MMAEConfig,
+                                    tcfg: TrainConfig, spec: NoiseSpec,
+                                    params_u, p1_map: Array,
+                                    hyper: HyperStack,
+                                    chyper: ClassifierHyperStack,
+                                    folded: FoldedData,
+                                    num_steps: Optional[int] = None):
+    """Phase 2 on a DEDUPLICATED phase-1 stack: gather the headless
+    (U, K, ...) params by ``p1_map`` onto the config axis, attach fresh
+    heads, and train every (config, fold) cell.  The shared-phase-1
+    sweep optimization — the reference retrains the MMAE per classifier
+    setting (autoencoder_classification_wrapper.py:195-227) but settings
+    sharing MMAE hyperparameters are statistically identical pretraining
+    runs (PARITY.md)."""
+    cfg = cfg.validate()
+    k_head, k_train = jax.random.split(rng)
+    params1 = jax.tree_util.tree_map(lambda a: a[p1_map], params_u)
+    headed = attach_fresh_heads(k_head, cfg, params1)
+    return train_classification_grid(k_train, cfg, tcfg, spec, headed,
+                                     hyper, chyper, folded, num_steps)
+
+
+train_classification_dedup_grid_jit = jax.jit(
+    train_classification_dedup_grid,
+    static_argnames=("cfg", "tcfg", "num_steps"))
+
+
 def embed_grid(params_stacked, cfg: MMAEConfig, hyper: HyperStack,
                x: Array, rng: Optional[Array] = None,
                sample: bool = False) -> Array:
@@ -588,6 +630,101 @@ def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
             cls_num_steps)
     trim = lambda a: a[:C]
     return (jax.tree_util.tree_map(trim, params), losses[:C], preds[:C])
+
+
+def train_phase1_shared(mesh: "jax.sharding.Mesh", rng: Array,
+                        cfg: MMAEConfig, tcfg: TrainConfig,
+                        spec: NoiseSpec, hyper_u: HyperStack,
+                        unsup_folded: FoldedData,
+                        num_steps: Optional[int] = None,
+                        backend: str = "auto"):
+    """Phase 1 for a FAMILY of two-phase buckets: train only the unique
+    MMAE settings (U configs), once, on the headless phase-1 view of
+    ``cfg``.  The resulting (U, K, ...) stack is shared by every
+    classifier-arch bucket of the family via
+    :func:`train_phase2_shared_sharded` — the reference retrains the
+    MMAE for every one of the 576 classification settings
+    (autoencoder_classification_wrapper.py:195-227) even though only 36
+    (setting, family) pretraining runs are distinct.  Both backends
+    return the same standard headless pytree, so phase-1/phase-2
+    backends mix freely (the kernels are step-exact vs XLA)."""
+    p1_cfg = cfg.replace(classification_layer_sizes=None).validate()
+    return train_grid_sharded(mesh, rng, p1_cfg, tcfg, spec, hyper_u,
+                              unsup_folded, num_steps, backend)
+
+
+@jax.jit
+def _gather_config_axis_jit(tree, idx):
+    """One-dispatch gather of every leaf's leading (config) axis."""
+    return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+def train_phase2_shared_sharded(mesh: "jax.sharding.Mesh", rng: Array,
+                                cfg: MMAEConfig, tcfg: TrainConfig,
+                                cls_tcfg: TrainConfig, spec: NoiseSpec,
+                                params_u, p1_map,
+                                hyper: HyperStack,
+                                chyper: ClassifierHyperStack,
+                                sup_folded: FoldedData,
+                                num_steps: Optional[int] = None,
+                                cls_num_steps: Optional[int] = None,
+                                backend: str = "auto"):
+    """Phase 2 of the classification sweep on SHARED phase-1 results.
+
+    ``params_u``: headless (U, K, ...) stack from
+    :func:`train_phase1_shared`; ``p1_map``: (C,) ints mapping each of
+    this bucket's C settings to its phase-1 row.  Returns
+    ``(params, preds)`` with (C, K) leading axes, the phase-2 half of
+    :func:`train_two_phase_sharded`'s contract.
+
+    Backends: 'xla' is mesh-general (``params_u`` is replicated; the
+    gather is shard-local).  'pallas' requires a 1-device config axis —
+    multi-chip pallas callers use the unshared fused path
+    (:func:`_two_phase_sharded_jit`) instead.
+    """
+    C = hyper.num_configs
+    n_dev = mesh.shape[mesh_lib.CONFIG_AXIS]
+    padded = mesh_lib.pad_to_multiple(C, n_dev)
+    hyper = hyper.pad_to(padded)
+    chyper = chyper.pad_to(padded)
+    p1_map = np.asarray(p1_map, np.int32)
+    idx = jnp.asarray(np.concatenate(
+        [p1_map, np.full(padded - C, p1_map[-1], np.int32)]))
+
+    if backend == "auto":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = ("pallas" if on_tpu and n_dev == 1
+                   and train_kernel.supported_two_phase(cfg, tcfg,
+                                                        cls_tcfg, spec)
+                   else "xla")
+
+    if backend == "pallas":
+        from multimodalautoencoder_tpu.ops import train_kernel
+        if n_dev > 1:
+            raise ValueError("shared-phase-1 pallas phase 2 needs a "
+                             "1-device config axis; use the unshared "
+                             "two-phase path on multi-chip meshes")
+        statics = train_kernel.two_phase_statics(cfg, tcfg, cls_tcfg,
+                                                 spec, num_steps,
+                                                 cls_num_steps)
+        fn = train_kernel._cached_phase2(*statics)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # gather as its own tiny dispatch so the phase-2 executable is
+        # byte-identical to the split path's (remote-compile-cache hit)
+        params1 = _gather_config_axis_jit(params_u, idx)
+        params, preds = fn(k1, k2, k3, params1, spec, hyper, chyper,
+                           sup_folded)
+    else:
+        hyper_p = mesh_lib.shard_leading_axis(hyper, mesh)
+        chyper_p = mesh_lib.shard_leading_axis(chyper, mesh)
+        sup = jax.device_put(sup_folded, mesh_lib.replicated(mesh))
+        params_r = jax.device_put(params_u, mesh_lib.replicated(mesh))
+        params, preds = train_classification_dedup_grid_jit(
+            rng, cfg, cls_tcfg, spec, params_r, idx, hyper_p, chyper_p,
+            sup, cls_num_steps)
+    trim = lambda a: a[:C]
+    return jax.tree_util.tree_map(trim, params), preds[:C]
 
 
 @functools.lru_cache(maxsize=64)

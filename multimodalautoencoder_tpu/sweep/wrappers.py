@@ -43,16 +43,22 @@ def _arch_tuple(a) -> tuple:
     return tuple(a) if isinstance(a, (list, tuple)) else (a,)
 
 
+METRIC_ORDER = ("acc", "auc", "f1", "precision", "recall")
+
+
 @functools.partial(jax.jit, static_argnames=("with_slices",))
 def _metric_battery_jit(preds, val_y, val_n, noisy, *, with_slices):
     """acc/auc/f1/precision/recall vmapped over (config, fold, label),
     plus noisy/clean acc+auc slices, in ONE compiled program.
 
     ``preds``: (C, K, R, L); ``val_y``: (K, R, L); ``val_n``: (K,);
-    ``noisy``: (K, R) bool.  Returns (main, noisy_m, clean_m) dicts of
-    (C, K, L) arrays (slices None-like zeros when with_slices=False).
-    Metric semantics are metrics_lib's (sklearn-parity, NaN on empty
-    slices) — this is purely a batching of the per-cell calls."""
+    ``noisy``: (K, R) bool.  Returns ONE stacked (3, 5, C, K, L) array —
+    slice axis [main, noisy, clean], metric axis METRIC_ORDER — so the
+    finalize path pays a single device->host round trip per bucket
+    instead of 15 (each ~1 s through the tunnel, and the metric tensors
+    are <1 KB so every fetch is pure latency).  Metric semantics are
+    metrics_lib's (sklearn-parity, NaN on empty slices) — this is purely
+    a batching of the per-cell calls."""
     R = val_y.shape[1]
     valid = jnp.arange(R)[None, :] < val_n[:, None]          # (K, R)
 
@@ -63,20 +69,22 @@ def _metric_battery_jit(preds, val_y, val_n, noisy, *, with_slices):
     per_fold = jax.vmap(per_label, in_axes=(0, 0, 0))
     per_cfg = jax.vmap(per_fold, in_axes=(0, None, None))
 
-    main = per_cfg(preds, val_y, valid)
+    def stack(d):
+        return jnp.stack([d[m] for m in METRIC_ORDER])       # (5,C,K,L)
+
+    main = stack(per_cfg(preds, val_y, valid))
     if not with_slices:
-        return main, main, main
-    return (main,
-            per_cfg(preds, val_y, valid & noisy),
-            per_cfg(preds, val_y, valid & ~noisy))
+        return jnp.stack([main, main, main])
+    return jnp.stack([main,
+                      stack(per_cfg(preds, val_y, valid & noisy)),
+                      stack(per_cfg(preds, val_y, valid & ~noisy))])
 
 
 def _batched_metric_battery(preds, val_y, val_n, noisy):
     if noisy is None:
-        m, _, _ = _metric_battery_jit(
+        return _metric_battery_jit(
             preds, val_y, val_n, jnp.zeros(val_y.shape[:2], bool),
             with_slices=False)
-        return m, None, None
     return _metric_battery_jit(preds, val_y, val_n, noisy,
                                with_slices=True)
 
@@ -627,17 +635,30 @@ class MMAEClassificationSweep:
                  check_noisy_data: bool = True, mesh=None,
                  save_results_every_nth: int = 1, seed: int = 0,
                  verbose: bool = True, backend: str = "auto",
-                 optimizer_state_dtype: str = "bfloat16"):
+                 optimizer_state_dtype: str = "bfloat16",
+                 share_phase1: bool = True):
         """``backend``: 'auto' trains both phases with the VMEM-resident
         Pallas kernel pipeline where the shape family allows
         (ops/train_kernel.supported_two_phase), the XLA grid trainer
         otherwise; 'xla' / 'pallas' force.  ``optimizer_state_dtype``:
         'bfloat16' (performance default, halves optimizer HBM traffic) or
-        'float32' for exact reference-style accumulator numerics."""
+        'float32' for exact reference-style accumulator numerics.
+        ``share_phase1`` (default True): train phase 1 once per unique
+        MMAE setting per shape FAMILY and share the pretrained stack
+        across every classifier setting that uses it — the reference
+        retrains the MMAE from scratch for all 576 settings
+        (autoencoder_classification_wrapper.py:195-227) though only 36
+        pretraining runs are distinct; sharing preserves per-setting
+        result distributions (RNG parity is distributional, PARITY.md)
+        and cuts phase-1 compute ~16x.  False restores faithful
+        independent retraining.  Sharing is skipped automatically on
+        multi-chip pallas meshes (grid_trainer.train_phase2_shared_sharded)."""
         from multimodalautoencoder_tpu.utils.cache import \
             enable_persistent_cache
         enable_persistent_cache()
         self.backend = backend
+        self.share_phase1 = share_phase1
+        self._families: Dict[tuple, dict] = {}
         # per-phase wall-clock accumulated across buckets ('train' =
         # both training phases + prediction materialization; 'metrics' =
         # the host-side metric battery + ledger rows)
@@ -768,21 +789,20 @@ class MMAEClassificationSweep:
         results: acc/auc/f1/precision/recall per label + aggregates +
         noisy/clean slices, nanmean over folds
         (autoencoder_classification_wrapper.py:239-328,
-        generic_wrapper.py:433-497)."""
-        main, noisy_d, clean_d = metrics_dev
+        generic_wrapper.py:433-497).  ``metrics_dev`` is the battery's
+        single stacked (3, 5, C, K, L) tensor — ONE tunnel round trip."""
+        stacked = np.asarray(metrics_dev)            # (3, 5, C, K, L)
+        mi = {m: i for i, m in enumerate(METRIC_ORDER)}
         noisy = self.sup_folded.val_noisy
-        main = {k: np.asarray(v) for k, v in main.items()}   # (C, K, L)
-        if noisy is not None:
-            noisy_d = {k: np.asarray(v) for k, v in noisy_d.items()}
-            clean_d = {k: np.asarray(v) for k, v in clean_d.items()}
 
         rows = []
         for c in range(num_configs):
-            per_label = {m: main[m][c] for m in ("acc", "auc", "f1",
-                                                 "precision", "recall")}
+            per_label = {m: stacked[0, mi[m], c] for m in METRIC_ORDER}
             if noisy is not None:
-                noisy_m = {m: noisy_d[m][c] for m in ("acc", "auc")}
-                clean_m = {m: clean_d[m][c] for m in ("acc", "auc")}
+                noisy_m = {m: stacked[1, mi[m], c] for m in ("acc",
+                                                             "auc")}
+                clean_m = {m: stacked[2, mi[m], c] for m in ("acc",
+                                                             "auc")}
             row = {}
             for name in per_label:
                 row[f"val_{name}"] = engine.nanmean(per_label[name])
@@ -800,6 +820,64 @@ class MMAEClassificationSweep:
             rows.append(row)
         return rows
 
+    @staticmethod
+    def _mmae_subsetting(s: Dict[str, Any]) -> Dict[str, Any]:
+        """The phase-1 (MMAE) hyperparameters of a two-phase setting."""
+        return {"dropout_prob": s.get("mmae_dropout_prob", 1.0),
+                "weight_penalty": s.get("mmae_weight_penalty", 0.0),
+                "activation_function": s.get("mmae_activation_function",
+                                             "relu")}
+
+    @staticmethod
+    def _family_key(setting: Dict[str, Any]) -> tuple:
+        """Phase-1 shape-family key: settings sharing it have identical
+        headless MMAE parameter pytrees (the bucket key minus the
+        classifier architecture)."""
+        return (_arch_tuple(setting["mmae_architecture"]),
+                bool(setting.get("tie_weights", False)),
+                bool(setting.get("variational", False)),
+                setting.get("weight_initialization", "normal"))
+
+    @staticmethod
+    def _p1_key(ms: Dict[str, Any]) -> tuple:
+        return (float(ms["dropout_prob"]), float(ms["weight_penalty"]),
+                str(ms["activation_function"]))
+
+    def _share_active(self) -> bool:
+        """Shared phase 1 is mesh/backend-gated: the pallas dedup phase-2
+        needs a 1-device config axis (train_phase2_shared_sharded)."""
+        if not self.share_phase1:
+            return False
+        n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
+        on_accel = jax.devices()[0].platform in ("tpu", "axon")
+        return not (on_accel and n_dev > 1 and self.backend != "xla")
+
+    def _prepare_families(self, buckets):
+        """Group buckets by phase-1 family (preserving first-seen family
+        order) and precompute each family's unique MMAE sub-settings —
+        its phase-1 stack is trained once and shared by all its
+        buckets."""
+        order, fam_buckets = [], {}
+        for kb in buckets:
+            fk = self._family_key(kb[1][0])
+            if fk not in fam_buckets:
+                fam_buckets[fk] = []
+                order.append(fk)
+            fam_buckets[fk].append(kb)
+        self._families = {}
+        for fi, fk in enumerate(order):
+            uniq, index = [], {}
+            for _, bucket in fam_buckets[fk]:
+                for s in bucket:
+                    pk = self._p1_key(self._mmae_subsetting(s))
+                    if pk not in index:
+                        index[pk] = len(uniq)
+                        uniq.append(self._mmae_subsetting(s))
+            self._families[fk] = {
+                "fi": fi, "uniq": uniq, "index": index,
+                "remaining": len(fam_buckets[fk]), "launched": None}
+        return [kb for fk in order for kb in fam_buckets[fk]]
+
     def _launch_bucket(self, bi: int, bucket):
         """Dispatch one bucket's two-phase training AND its on-device
         metric battery without materializing anything: JAX queues both on
@@ -807,23 +885,45 @@ class MMAEClassificationSweep:
         bucket N+1's host-side tracing/executable loading — the same
         two-stage software pipeline as MMAESweep (the classification
         sweep previously serialized launch -> materialize -> metrics per
-        bucket, paying the tunnel's ~1 s dispatch latency unoverlapped)."""
+        bucket, paying the tunnel's ~1 s dispatch latency unoverlapped).
+
+        With ``share_phase1`` the first bucket of each phase-1 family
+        additionally launches the family's deduplicated phase-1 run; the
+        bucket itself then dispatches only phase 2 (gathering its
+        settings' pretrained rows on device)."""
         t0 = time.time()
         cfg = self._cfg_for_bucket(bucket[0])
-        mmae_settings = [{
-            "dropout_prob": s.get("mmae_dropout_prob", 1.0),
-            "weight_penalty": s.get("mmae_weight_penalty", 0.0),
-            "activation_function": s.get("mmae_activation_function",
-                                         "relu"),
-        } for s in bucket]
+        mmae_settings = [self._mmae_subsetting(s) for s in bucket]
         hyper = gt.HyperStack.from_settings(mmae_settings, cfg, self.tcfg)
         chyper = gt.ClassifierHyperStack.from_settings(bucket, cfg)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
-        params, losses, preds = gt.train_two_phase_sharded(
-            self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
-            hyper, chyper, self.unsup_folded, self.sup_folded,
-            backend=self.backend)
+        fam = (self._families.get(self._family_key(bucket[0]))
+               if self._families else None)
+        if fam is not None:
+            if fam["launched"] is None:
+                hyper_u = gt.HyperStack.from_settings(fam["uniq"], cfg,
+                                                      self.tcfg)
+                rng_f = jax.random.fold_in(
+                    jax.random.PRNGKey(self.seed + 101), fam["fi"])
+                fam["launched"] = gt.train_phase1_shared(
+                    self.mesh, rng_f, cfg, self.tcfg, self.spec,
+                    hyper_u, self.unsup_folded, backend=self.backend)
+            params_u, losses_u = fam["launched"]
+            p1_map = np.asarray(
+                [fam["index"][self._p1_key(ms)] for ms in mmae_settings],
+                np.int32)
+            params, preds = gt.train_phase2_shared_sharded(
+                self.mesh, rng, cfg, self.tcfg, self.cls_tcfg,
+                self.spec, params_u, p1_map, hyper, chyper,
+                self.sup_folded, backend=self.backend)
+            losses = losses_u
+        else:
+            p1_map = None
+            params, losses, preds = gt.train_two_phase_sharded(
+                self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
+                hyper, chyper, self.unsup_folded, self.sup_folded,
+                backend=self.backend)
         t_train = time.time()
         self.phase_seconds["train"] += t_train - t0
         self.phase_seconds["train_launch"] += t_train - t0
@@ -834,7 +934,10 @@ class MMAEClassificationSweep:
         self.phase_seconds["metrics"] += now - t_train
         self.phase_seconds["metrics_launch"] += now - t_train
         return {"bi": bi, "bucket": bucket, "launch_secs": now - t0,
-                "losses": losses, "metrics": metrics_dev}
+                "losses": losses, "p1_map": p1_map,
+                "family": (self._family_key(bucket[0])
+                           if fam is not None else None),
+                "metrics": metrics_dev}
 
     def _finalize_bucket(self, st, est, num_buckets: int) -> None:
         """Materialize one launched bucket's losses + metric tensors and
@@ -843,7 +946,11 @@ class MMAEClassificationSweep:
         the next bucket's launch before this finalize."""
         bucket = st["bucket"]
         t1 = time.time()
-        losses = np.asarray(st["losses"])               # (C, K)
+        losses = np.asarray(st["losses"])         # (C, K) or (U, K)
+        if st.get("p1_map") is not None:
+            # shared phase 1: expand the family's (U, K) losses onto
+            # this bucket's settings
+            losses = losses[st["p1_map"]]
         self.phase_seconds["train"] += time.time() - t1
         self.phase_seconds["train_wait"] += time.time() - t1
 
@@ -860,6 +967,15 @@ class MMAEClassificationSweep:
             row["time_per_setting_s"] = bucket_secs / len(bucket)
             self.ledger.append(row)
         est.record(bucket_secs, batch=len(bucket))
+        if st.get("family") is not None:
+            # all of this family's buckets launch before its last bucket
+            # finalizes, so the shared phase-1 stack can be dropped
+            # (frees the family's HBM) once every user is finalized
+            fam = self._families.get(st["family"])
+            if fam is not None:
+                fam["remaining"] -= 1
+                if fam["remaining"] <= 0:
+                    fam["launched"] = None
         if self.verbose:
             print(f"bucket {st['bi'] + 1}/{num_buckets} "
                   f"({len(bucket)} settings x {self.num_cross_folds} "
@@ -870,6 +986,13 @@ class MMAEClassificationSweep:
                    if not (self.ledger.started_from
                            and self.ledger.already_done(s))]
         buckets = grid_lib.bucket_settings(pending)
+        if self._share_active():
+            # group buckets by phase-1 family so each family's shared
+            # pretraining launches once and is freed as soon as its
+            # last bucket finalizes
+            buckets = self._prepare_families(buckets)
+        else:
+            self._families = {}
         est = engine.TimeEstimator(self.num_settings,
                                    self.ledger.started_from)
         inflight = None

@@ -127,11 +127,15 @@ def test_batched_metric_battery_matches_per_cell():
     val_n = np.array([33, 40], np.int32)
     noisy = rng.random((K, R)) > 0.6
 
-    main, nm, _ = _batched_metric_battery(
+    from multimodalautoencoder_tpu.sweep.wrappers import METRIC_ORDER
+
+    stacked = np.asarray(_batched_metric_battery(
         jnp.asarray(preds), jnp.asarray(val_y), jnp.asarray(val_n),
-        jnp.asarray(noisy))
-    main = {k: np.asarray(v) for k, v in main.items()}
-    nm = {k: np.asarray(v) for k, v in nm.items()}
+        jnp.asarray(noisy)))                    # (3, 5, C, K, L)
+    assert stacked.shape == (3, 5, C, K, L)
+    mi = {m: i for i, m in enumerate(METRIC_ORDER)}
+    main = {m: stacked[0, mi[m]] for m in METRIC_ORDER}
+    nm = {m: stacked[1, mi[m]] for m in METRIC_ORDER}
 
     for c in range(C):
         for f in range(K):
@@ -340,3 +344,46 @@ def test_classification_sweep_pallas_backend(loaders, tmp_path):
                 "val_mmae_loss", "val_acc_happiness"):
         assert col in df.columns, col
     assert df["val_acc"].between(0, 1).all()
+
+
+def test_classification_shared_phase1_semantics(loaders, tmp_path):
+    """share_phase1: one family (2 cls archs x 2 mmae dropouts x 2 cls
+    dropouts = 8 settings, U=2 unique MMAE settings).  Settings sharing
+    an MMAE sub-setting must report the IDENTICAL phase-1 loss (one
+    pretraining run each), across both classifier-arch buckets; the
+    faithful share_phase1=False path retrains independently."""
+    unsup, sup = loaders
+    kwargs = dict(
+        mmae_layer_sizes=[[12, 6]],
+        classification_layer_sizes=[[8], [6, 4]],
+        tie_weights=[True], mmae_dropout_probs=[1.0, 0.5],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0, 0.5], activation_funcs=["relu"],
+        mmae_num_steps=40, classification_num_steps=40,
+        num_cross_folds=2, verbose=False)
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup, results_path=str(tmp_path / "shared"), **kwargs)
+    assert sweep.num_settings == 8
+    assert sweep._share_active()
+    sweep.run()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(df) == 8
+    # one family, U=2: exactly 2 distinct phase-1 losses, and every
+    # group of settings sharing mmae_dropout_prob shares one of them
+    # (including across the two classifier-arch buckets)
+    for dp, grp in df.groupby("mmae_dropout_prob"):
+        assert len(grp) == 4
+        assert grp["val_mmae_loss"].nunique() == 1, dp
+    assert df["val_mmae_loss"].nunique() == 2
+    assert df["val_acc"].between(0, 1).all()
+
+    sweep_f = wrappers.MMAEClassificationSweep(
+        unsup, sup, results_path=str(tmp_path / "faithful"),
+        share_phase1=False, **kwargs)
+    sweep_f.run()
+    df_f = pd.read_csv(sweep_f.ledger.path, index_col=0)
+    assert len(df_f) == 8
+    # independent retraining: per-setting phase-1 losses all distinct
+    assert df_f["val_mmae_loss"].nunique() == 8
+    assert sorted(df.columns) == sorted(df_f.columns)

@@ -466,3 +466,56 @@ def test_two_phase_sharded_matches_per_shard_runs():
         np.testing.assert_allclose(w_sh, w_i, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(preds_sh)[sl],
                                       np.asarray(pr_i))
+
+
+def test_phase2_dedup_identity_exact():
+    """The dedup phase-2 entry (_cached_phase2_dedup) with the identity
+    map must reproduce the split two-phase path bit-for-bit: same key
+    derivation, the gather is a no-op."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, _,
+     _) = make_two_phase(cls_layers=(8,), steps2=3)
+    settings = [{"dropout_prob": 1.0, "weight_penalty": 0.0,
+                 "activation_function": "softsign"}] * 2
+    hyper = gt.HyperStack.from_settings(settings, cfg, tcfg)
+    chyper = gt.ClassifierHyperStack.from_settings(
+        [{"dropout_prob": 1.0, "weight_penalty": 0.0,
+          "activation_func": "softsign"},
+         {"dropout_prob": 1.0, "weight_penalty": 0.01,
+          "activation_func": "softsign"}], cfg)
+    statics = tk.two_phase_statics(cfg, tcfg, cls_tcfg, spec, 2, 3,
+                                   adam_eps=ADAM_EPS)
+    rng = jax.random.PRNGKey(7)
+    params_ref, losses_ref, preds_ref = tk._cached_two_phase_split(
+        *statics)(rng, spec, hyper, chyper, unsup, sup)
+
+    cfg_s, tcfg_s, _, n1, _, interp, elem_p = statics[:7]
+    k_p1, k1, k2, k3 = jax.random.split(rng, 4)
+    params_u, losses_u = tk._cached_pipeline(
+        tk._phase1_cfg(cfg_s), tcfg_s, n1, interp, elem_p)(
+            k_p1, spec, hyper, unsup)
+    np.testing.assert_array_equal(np.asarray(losses_u),
+                                  np.asarray(losses_ref))
+
+    p2 = tk._cached_phase2(*statics)
+    idx = jnp.arange(2, dtype=jnp.int32)
+    params_d, preds_d = p2(k1, k2, k3,
+                           gt._gather_config_axis_jit(params_u, idx),
+                           spec, hyper, chyper, sup)
+    for a, b in zip(jax.tree_util.tree_leaves(params_d),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(preds_d),
+                                  np.asarray(preds_ref))
+
+    # a non-trivial map must change only the remapped row: with both
+    # settings started from phase-1 row 0, row 0 is untouched and row 1
+    # (now pretrained differently) must diverge from the identity run
+    params_g, preds_g = p2(
+        k1, k2, k3,
+        gt._gather_config_axis_jit(params_u, jnp.zeros(2, jnp.int32)),
+        spec, hyper, chyper, sup)
+    np.testing.assert_array_equal(np.asarray(preds_g)[0],
+                                  np.asarray(preds_d)[0])
+    w_g = np.asarray(jax.tree_util.tree_leaves(params_g)[0][1])
+    w_d = np.asarray(jax.tree_util.tree_leaves(params_d)[0][1])
+    assert not np.array_equal(w_g, w_d)
