@@ -45,6 +45,11 @@ def main():
                     help="run only the 16-setting tied "
                          "(1000,100)/(50,20) bucket at full step counts")
     ap.add_argument("--skip-canary", action="store_true")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="phase-2 matmul-operand dtype (accumulation "
+                         "always f32); phase-1 kernel training is f32 "
+                         "either way")
     args = ap.parse_args()
 
     from multimodalautoencoder_tpu.utils.cache import \
@@ -82,7 +87,8 @@ def main():
             unsup, sup,
             mmae_num_steps=P1_STEPS, classification_num_steps=P2_STEPS,
             results_path=os.path.join(workdir, "results"),
-            num_cross_folds=FOLDS, verbose=True, **kwargs)
+            num_cross_folds=FOLDS, verbose=True,
+            compute_dtype=args.compute_dtype, **kwargs)
         assert sweep.num_settings == expected, sweep.num_settings
         sweep.run()
         wall = time.perf_counter() - t0

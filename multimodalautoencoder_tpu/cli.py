@@ -92,7 +92,8 @@ def cmd_sweep_classification(args) -> int:
         results_path=args.results_path, cont=args.cont,
         check_test=args.check_test, num_cross_folds=args.folds,
         mmae_num_steps=args.num_steps,
-        classification_num_steps=args.num_steps, seed=args.seed)
+        classification_num_steps=args.num_steps, seed=args.seed,
+        compute_dtype=args.compute_dtype)
     results = sweep.run()
     for metric, row in results.items():
         print(metric, "->", float(row[metric]))
@@ -209,6 +210,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("classification_filename")
     p.add_argument("label", nargs="?", default=None)
     p.add_argument("--num-steps", type=int, default=15000)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="matmul-operand dtype for phase-2 training "
+                        "(accumulation and storage stay float32)")
     _add_common(p)
     p.set_defaults(fn=cmd_sweep_classification)
 

@@ -113,6 +113,9 @@ class MMAEConfig:
             raise ValueError(f"unknown loss {cfg.loss!r}")
         if cfg.weight_initialization not in INITS:
             raise ValueError(f"unknown init {cfg.weight_initialization!r}")
+        if cfg.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r} "
+                             "(float32 or bfloat16)")
         if cfg.variational and len(cfg.layer_sizes) < 2:
             raise ValueError("VAE needs >= 2 encoder layers (variance head "
                              "reads the second-to-last hidden layer)")

@@ -948,9 +948,20 @@ def _cls_train_kernel(
         variational: bool, softmax: bool, stream_big: bool, elem_p: float,
         mask_value: float, lr_const: float, num_labels: int,
         b1_const: float = 0.9, b2_const: float = 0.999, eps: float = 1e-8,
-        dr_seed_salt: int = 0x2C15):
+        dr_seed_salt: int = 0x2C15, bf16: bool = False):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
+
+    def _dot(a, b):
+        # bf16 operands / f32 accumulation: phase 2 at batch 100 is
+        # MXU-f32-bound (~0.5 GFLOP/step for arch-1000; measured ~13 s
+        # per 16x5x15k bucket = the f32 MXU roofline), so casting the
+        # matmul operands buys the bf16/f32 MXU rate ratio.  Optimizer
+        # math, losses, and masks stay f32.
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     fold = fold_ref[i]
     n_valid = n_ref[i]
@@ -1058,17 +1069,13 @@ def _cls_train_kernel(
         # ---- encoder forward --------------------------------------------
         w1 = w1s[...]
         w2 = w2s[...]
-        z1 = jnp.dot(xn, w1, preferred_element_type=jnp.float32) \
-            + b1s[0:1, :]
+        z1 = _dot(xn, w1) + b1s[0:1, :]
         a1 = _act(z1, enc_act)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
         a1d = a1 * d1
-        mu = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
-            + b2s[0:1, :]
+        mu = _dot(a1d, w2) + b2s[0:1, :]
         if variational:
-            lv = jnp.dot(a1d, wvs[...],
-                         preferred_element_type=jnp.float32) \
-                + bvs[0:1, :]
+            lv = _dot(a1d, wvs[...]) + bvs[0:1, :]
             eps_n = _normal(mu.shape)
             sigma = jnp.exp(lv)
             emb = mu + eps_n * sigma
@@ -1083,9 +1090,7 @@ def _cls_train_kernel(
         hs, zcs, ds = [], [], {}
         for j in range(n_cls):
             hs.append(h)
-            zc = jnp.dot(h, cws[j][...],
-                         preferred_element_type=jnp.float32) \
-                + cbs[j][0:1, :]
+            zc = _dot(h, cws[j][...]) + cbs[j][0:1, :]
             zcs.append(zc)
             if gates[j]:
                 ac = _act(zc, cls_act)
@@ -1124,12 +1129,10 @@ def _cls_train_kernel(
             if gates[j]:
                 g = g * ds[j] * _act_grad(zcs[j], cls_act)
             cw_j = cws[j][...]          # read BEFORE adam mutates scr
-            gw = jnp.dot(hs[j].T, g,
-                         preferred_element_type=jnp.float32) \
-                + wpen * cw_j
+            gw = _dot(hs[j].T, g) + wpen * cw_j
             adam(6 + 2 * j, gw, alpha, es2)
             adam(7 + 2 * j, bias_grad_fn(g, cbs[j].shape), alpha, es2)
-            g = jnp.dot(g, cw_j.T, preferred_element_type=jnp.float32)
+            g = _dot(g, cw_j.T)
         g_emb = g
 
         # ---- backward through the encoder (no L2: phase 2 regularizes
@@ -1137,15 +1140,11 @@ def _cls_train_kernel(
         if variational:
             gmu = g_emb
             glv = g_emb * eps_n * sigma
-            g_a1d = jnp.dot(gmu, w2.T,
-                            preferred_element_type=jnp.float32) \
-                + jnp.dot(glv, wvs[...].T,
-                          preferred_element_type=jnp.float32)
+            g_a1d = _dot(gmu, w2.T) + _dot(glv, wvs[...].T)
         else:
             gmu = g_emb
             glv = None
-            g_a1d = jnp.dot(gmu, w2.T,
-                            preferred_element_type=jnp.float32)
+            g_a1d = _dot(gmu, w2.T)
         g1 = g_a1d * d1 * _act_grad(z1, enc_act)
 
         def adam_streamed_w1():
@@ -1176,9 +1175,8 @@ def _cls_train_kernel(
                     if t >= 1:
                         out_copy(t - 1, 1 - s).wait()
                     in_copy(t + 1, 1 - s).start()
-                gch = jnp.dot(xn[:, r * rb:(r + 1) * rb].T,
-                              g1[:, c * CH:(c + 1) * CH],
-                              preferred_element_type=jnp.float32)
+                gch = _dot(xn[:, r * rb:(r + 1) * rb].T,
+                           g1[:, c * CH:(c + 1) * CH])
                 in_copy(t, s).wait()
                 m = (b1_const * mvchunk[s, 0, pl.ds(0, rb), :].astype(
                         jnp.float32) + (1 - b1_const) * gch)
@@ -1197,16 +1195,12 @@ def _cls_train_kernel(
         if stream_big:
             adam_streamed_w1()
         else:
-            adam(0, jnp.dot(xn.T, g1,
-                            preferred_element_type=jnp.float32),
-                 alpha, es2)
+            adam(0, _dot(xn.T, g1), alpha, es2)
         adam(1, bias_grad_fn(g1, b1s.shape), alpha, es2)
-        adam(2, jnp.dot(a1d.T, gmu,
-                        preferred_element_type=jnp.float32), alpha, es2)
+        adam(2, _dot(a1d.T, gmu), alpha, es2)
         adam(3, bias_grad_fn(gmu, b2s.shape), alpha, es2)
         if variational:
-            adam(4, jnp.dot(a1d.T, glv,
-                            preferred_element_type=jnp.float32), alpha, es2)
+            adam(4, _dot(a1d.T, glv), alpha, es2)
             adam(5, bias_grad_fn(glv, bvs.shape), alpha, es2)
         return 0
 
@@ -1472,7 +1466,7 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
         softmax=softmax, stream_big=stream_big, elem_p=elem_p,
         mask_value=float(cfg.mask_with),
         lr_const=float(cls_tcfg.learning_rate), num_labels=L,
-        eps=adam_eps)
+        eps=adam_eps, bf16=(cfg.compute_dtype == "bfloat16"))
 
     def anyspec():
         return pl.BlockSpec(memory_space=pl.ANY)

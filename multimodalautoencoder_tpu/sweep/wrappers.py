@@ -636,7 +636,8 @@ class MMAEClassificationSweep:
                  save_results_every_nth: int = 1, seed: int = 0,
                  verbose: bool = True, backend: str = "auto",
                  optimizer_state_dtype: str = "bfloat16",
-                 share_phase1: bool = True):
+                 share_phase1: bool = True,
+                 compute_dtype: str = "float32"):
         """``backend``: 'auto' trains both phases with the VMEM-resident
         Pallas kernel pipeline where the shape family allows
         (ops/train_kernel.supported_two_phase), the XLA grid trainer
@@ -691,10 +692,15 @@ class MMAEClassificationSweep:
         else:
             cls_loss = "sigmoid_cross_entropy"
             out_labels = num_labels or 2
+        # compute_dtype='bfloat16' casts MATMUL OPERANDS (accumulation
+        # stays f32) in phase 2 and the evaluators; the phase-1 Pallas
+        # kernel always computes f32, so the sweep's phase-1 parity
+        # observables are unaffected on the TPU path
         self.base_cfg = MMAEConfig(
             num_feats=data_loader.num_feats,
             loss="sigmoid_cross_entropy",
             normalization="between_0_and_1",
+            compute_dtype=compute_dtype,
             num_labels=out_labels, classification_loss=cls_loss)
         # no clipping: neither training phase clips in the reference
         # (the MMAE flag is dead code §2.8.2; the classification opt step

@@ -215,3 +215,25 @@ def test_softmax_classification_predictions():
     p /= p.sum(axis=1, keepdims=True)
     manual = -np.mean([np.log(p[0, 1]), np.log(p[1, 0])])
     np.testing.assert_allclose(float(loss), manual, rtol=1e-4)
+
+
+def test_validate_rejects_unknown_compute_dtype():
+    with pytest.raises(ValueError, match="compute_dtype"):
+        cfg_base(compute_dtype="fp8")
+    assert cfg_base(compute_dtype="bfloat16").compute_dtype == "bfloat16"
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """compute_dtype='bfloat16' casts matmul OPERANDS only (f32 storage
+    and accumulation): forward results stay close to the f32 run and
+    must actually differ (the casts are engaged)."""
+    cfg32 = cfg_base()
+    cfgbf = cfg_base(compute_dtype="bfloat16")
+    p = mmae.init(jax.random.PRNGKey(0), cfg32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, cfg32.num_feats))
+    r32 = mmae.forward(p, cfg32, x)
+    rbf = mmae.forward(p, cfgbf, x)
+    a, b = np.asarray(r32.recon), np.asarray(rbf.recon)
+    assert b.dtype == np.float32
+    np.testing.assert_allclose(b, a, atol=2e-2)
+    assert np.abs(a - b).max() > 0.0

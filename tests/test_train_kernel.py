@@ -519,3 +519,35 @@ def test_phase2_dedup_identity_exact():
     w_g = np.asarray(jax.tree_util.tree_leaves(params_g)[0][1])
     w_d = np.asarray(jax.tree_util.tree_leaves(params_d)[0][1])
     assert not np.array_equal(w_g, w_d)
+
+
+def test_cls_kernel_bf16_mode():
+    """compute_dtype='bfloat16' casts the phase-2 kernel's matmul
+    operands (f32 accumulation): results must stay finite and close to
+    the f32 run, and must actually differ (the casts are engaged)."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), steps2=3)
+    p32, l32, pr32 = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=1, cls_num_steps=3, adam_eps=ADAM_EPS)
+    cfg_bf = cfg.replace(compute_dtype="bfloat16").validate()
+    pbf, lbf, prbf = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg_bf, tcfg, cls_tcfg, spec, hyper,
+        chyper, unsup, sup, num_steps=1, cls_num_steps=3,
+        adam_eps=ADAM_EPS)
+    l32_leaves = jax.tree_util.tree_leaves(p32)
+    lbf_leaves = jax.tree_util.tree_leaves(pbf)
+    diffs = []
+    for a, b in zip(l32_leaves, lbf_leaves):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        assert a.dtype == b.dtype == np.float32   # storage stays f32
+        np.testing.assert_allclose(b, a, atol=5e-3)
+        diffs.append(float(np.abs(a - b).max()))
+    assert max(diffs) > 0.0                       # casts engaged
+    assert np.isfinite(np.asarray(prbf)).all()
+    # phase-1 TRAINING is untouched by compute_dtype in the kernel path;
+    # only the XLA loss evaluator's matmuls cast, so losses are close
+    # but not bitwise equal
+    np.testing.assert_allclose(np.asarray(lbf), np.asarray(l32),
+                               rtol=1e-4)
