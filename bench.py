@@ -38,10 +38,60 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import shutil
+import subprocess
+import sys
 import tempfile
 import time
 
 CANARY_HEALTHY = 80_000          # inst-steps/s; healthy chip does ~220k
+
+
+def wait_for_backend(max_wait_s: float = 1800.0,
+                     probe_timeout_s: float = 180.0) -> bool:
+    """Wait for the TPU backend to answer at all.
+
+    The tunnel worker can be down entirely (observed 2026-08-17:
+    ``jax.devices()`` blocks indefinitely — backend *bring-up* hangs,
+    which the canary gate can never reach).  Probe device bring-up in a
+    SUBPROCESS with a hard timeout (once the in-process runtime hangs it
+    cannot be recovered) and retry until the budget runs out.  Returns
+    True when a probe succeeds; False means the backend never answered
+    and the caller should record an explicit no-measurement artifact
+    instead of hanging the driver.
+    """
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np\n"
+                 "x = jax.numpy.ones((128, 128))\n"
+                 "assert float(np.asarray((x @ x).sum())) == 128.0 ** 3"],
+                timeout=probe_timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(60)
+
+
+def backend_down_record(metric: str) -> dict:
+    """The honest artifact for a dead tunnel: an explicit zero with
+    ``degraded`` set, not a stale or hung measurement."""
+    return {
+        "metric": metric,
+        "value": 0.0,
+        "unit": ("NO MEASUREMENT: TPU backend unreachable (tunnel "
+                 "worker down; jax device bring-up timed out for 30 "
+                 "min).  Environment outage, not a property of this "
+                 "software — see the previous round's artifact for the "
+                 "last healthy measurement."),
+        "vs_baseline": 0.0,
+        "degraded": True,
+        "backend_unreachable": True,
+    }
 
 
 def _canary_rate():
@@ -94,6 +144,11 @@ def _wait_for_healthy_chip(max_wait_s: float = 600.0):
 
 
 def main():
+    if not wait_for_backend():
+        print(json.dumps(backend_down_record(
+            "acii2017_full_sweep_configs_per_hour")))
+        return
+
     from multimodalautoencoder_tpu.utils.cache import \
         enable_persistent_cache
     enable_persistent_cache()

@@ -52,11 +52,15 @@ def main():
                          "either way")
     args = ap.parse_args()
 
+    import bench as bench_mod
+    if not bench_mod.wait_for_backend():
+        print(json.dumps(bench_mod.backend_down_record(
+            "acii2017_classification_576_configs_per_hour")))
+        return
+
     from multimodalautoencoder_tpu.utils.cache import \
         enable_persistent_cache
     enable_persistent_cache()
-
-    import bench as bench_mod
     from multimodalautoencoder_tpu.data import synthetic
     from multimodalautoencoder_tpu.sweep.wrappers import \
         MMAEClassificationSweep
