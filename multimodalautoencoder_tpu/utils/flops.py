@@ -108,9 +108,57 @@ def train_step_hbm_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
     return float(panels + streamed)
 
 
+def cls_train_step_flops(cfg: MMAEConfig, tcfg: TrainConfig,
+                         cls_layer_sizes) -> Dict[str, float]:
+    """FLOPs of ONE phase-2 classification training step of ONE
+    (config, fold) cell (ops/train_kernel._cls_train_kernel step):
+    encoder forward (frozen decoder never runs), classifier-head
+    forward, backward through head + encoder, weight grads.
+
+    Phase 2 runs at the reference's classifier batch (100,
+    autoencoder_classification_wrapper.py:92) — 5x the MMAE batch — so
+    unlike phase 1 its matmuls are big enough for the MXU to matter;
+    with ``compute_dtype='bfloat16'`` the same counts apply against the
+    bf16 peak (2x f32).
+    """
+    cfg = cfg.validate()
+    B = tcfg.batch_size
+    F = cfg.num_feats
+    H1, H2 = cfg.layer_sizes
+    dims = [H2] + list(cls_layer_sizes) + [cfg.num_labels]
+
+    # encoder forward: x@W1, a1@W2 (+ a1@Wv for the VAE head)
+    fwd = 2 * B * (F * H1 + H1 * H2)
+    if cfg.variational:
+        fwd += 2 * B * H1 * H2
+    # head forward
+    head = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    fwd += 2 * B * head
+    # backward: head data+weight grads, encoder data grads
+    # (g@W2^T [+ glv@Wv^T]) and weight grads (xn^T@g1, a1^T@gmu [+glv])
+    bwd = 2 * B * (2 * head) + 2 * B * (H1 * H2 + F * H1 + H1 * H2)
+    if cfg.variational:
+        bwd += 2 * B * (2 * H1 * H2)
+    mxu = float(fwd + bwd)
+
+    # VPU: activations/dropout/loss ~ O(B*(F+H1+H2+head widths)) passes
+    # + 11 ops/Adam element (encoder w1,b1,w2,b2 [+wv,bv] + head)
+    w_elems = F * H1 + H1 * H2 + head
+    if cfg.variational:
+        w_elems += H1 * H2
+    b_elems = H1 + H2 + sum(dims[1:]) + (H2 if cfg.variational else 0)
+    adam_elems = w_elems + b_elems
+    act_passes = 10.0
+    vpu = float(act_passes * B * (F + H1 + H2 + sum(dims[1:]))
+                + 11.0 * adam_elems)
+    return {"mxu": mxu, "vpu": vpu, "total": mxu + vpu,
+            "adam_elems": float(adam_elems)}
+
+
 # Peak numbers for one TPU v5e core (public spec: 197 TFLOP/s bf16 /
 # ~98 TFLOP/s f32 per chip, 819 GB/s HBM; one chip = one core on v5e).
 V5E_PEAK_F32_FLOPS = 9.85e13
+V5E_PEAK_BF16_FLOPS = 1.97e14
 V5E_PEAK_HBM_BYTES = 8.19e11
 
 

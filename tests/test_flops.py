@@ -53,3 +53,22 @@ def test_utilization_row_units():
     assert 0 < r["pct_f32_peak"] < 100
     assert 0 < r["pct_hbm_peak"] < 100
     assert r["useful_gflops_per_s"] > 1000       # multi-TFLOP/s regime
+
+
+def test_cls_flops_positive_and_structured():
+    CLS_TCFG = TrainConfig(learning_rate=1e-4, batch_size=100,
+                           num_steps=15000, clip_gradients=False,
+                           optimizer_state_dtype="bfloat16")
+    c = cfg(classification_layer_sizes=(50, 20), num_labels=1)
+    r = flops.cls_train_step_flops(c, CLS_TCFG, (50, 20))
+    assert r["total"] > 0 and r["mxu"] > r["vpu"]
+    # phase 2 (batch 100, no decoder) does more matmul work per step
+    # than phase 1 (batch 20, with decoder) for the same encoder
+    p1 = flops.train_step_flops(c, TCFG)
+    assert r["mxu"] > p1["mxu"]
+    # VAE adds the variance head's forward+backward
+    cv = cfg(tie_weights=False, variational=True,
+             classification_layer_sizes=(50, 20), num_labels=1)
+    rv = flops.cls_train_step_flops(cv, CLS_TCFG, (50, 20))
+    assert rv["mxu"] > r["mxu"]
+    assert rv["adam_elems"] > r["adam_elems"]

@@ -26,6 +26,16 @@ RECORDED_RATES = {
     "VAE 1000x100 @1000f (streamed)": 20_700,
 }
 
+# Phase-2 classification (batch 100, encoder + 50x20 head): measured
+# with --measure-cls; rates are inst-steps/s of the phase-2 kernel.
+# None = not yet measured on a healthy chip.
+CLS_RECORDED_RATES = {
+    "phase-2 tied 1000x100 +50x20 head (f32)": None,
+    "phase-2 tied 1000x100 +50x20 head (bf16)": None,
+    "phase-2 tied 300x100 +50x20 head (f32)": None,
+    "phase-2 tied 300x100 +50x20 head (bf16)": None,
+}
+
 
 def _cfg_for(name: str):
     from multimodalautoencoder_tpu.config import MMAEConfig
@@ -73,10 +83,67 @@ def _measure(name: str, tcfg) -> float:
     return 60 * 1500 / (time.perf_counter() - t0)
 
 
+def _cls_cfg_for(name: str):
+    from multimodalautoencoder_tpu.config import MMAEConfig
+
+    arch = (1000, 100) if "1000x100" in name else (300, 100)
+    return MMAEConfig(num_feats=arch[0], layer_sizes=arch,
+                      tie_weights=True, loss="sigmoid_cross_entropy",
+                      classification_layer_sizes=(50, 20), num_labels=1,
+                      compute_dtype=("bfloat16" if "(bf16)" in name
+                                     else "float32")).validate()
+
+
+def _measure_cls(name: str, tcfg, cls_tcfg) -> float:
+    """Phase-2 inst-steps/s: 12 settings x 5 folds through the two-phase
+    kernel with a 1-step phase 1, so phase-2 dominates the timing."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    cfg = _cls_cfg_for(name)
+    F = cfg.num_feats
+    table = ModalityTable.uniform(5, F // 5,
+                                  names=("call", "location", "screen",
+                                         "sms", "survey"))
+    spec = NoiseSpec.build(cfg, table)
+    rng = np.random.default_rng(0)
+    X = rng.random((1600, F)).astype(np.float32)
+    Y = rng.integers(0, 2, (1600, 1)).astype(np.float32)
+    unsup = gt.FoldedData.from_ragged([X[:1280]] * 5, [X[1280:]] * 5)
+    sup = gt.FoldedData.from_ragged([X[:1280]] * 5, [X[1280:]] * 5,
+                                    [Y[:1280]] * 5, [Y[1280:]] * 5)
+    hyper = gt.HyperStack.from_settings([{"dropout_prob": 1.0}] * 12,
+                                        cfg, tcfg)
+    chyper = gt.ClassifierHyperStack.from_settings(
+        [{"dropout_prob": 1.0}] * 12, cfg)
+    STEPS = 1500
+
+    def run(key):
+        _, l, preds = tk.train_two_phase_pallas(
+            jax.random.PRNGKey(key), cfg, tcfg, cls_tcfg, spec, hyper,
+            chyper, unsup, sup, num_steps=1, cls_num_steps=STEPS)
+        np.asarray(preds)
+
+    run(0)
+    t0 = time.perf_counter()
+    run(1)
+    return 60 * STEPS / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
-                    help="re-measure rates on the attached TPU")
+                    help="re-measure phase-1 rates on the attached TPU")
+    ap.add_argument("--measure-cls", action="store_true",
+                    help="measure phase-2 classification rates on the "
+                         "attached TPU (f32 and bf16)")
     args = ap.parse_args()
 
     from multimodalautoencoder_tpu.config import TrainConfig
@@ -97,6 +164,25 @@ def main():
               f"| {r['pct_f32_peak']:.1f}% "
               f"| {r['hbm_gb_per_s']:.0f} "
               f"| {r['pct_hbm_peak']:.1f}% |")
+
+    # phase-2 rows: FLOPs utilization against the matmul-operand dtype's
+    # own MXU peak (bf16 rows / 197 TFLOP/s, f32 rows / 98.5)
+    cls_tcfg = TrainConfig(learning_rate=1e-4, batch_size=100,
+                           num_steps=15000, clip_gradients=False,
+                           optimizer_state_dtype="bfloat16")
+    for name in CLS_RECORDED_RATES:
+        rate = (_measure_cls(name, tcfg, cls_tcfg) if args.measure_cls
+                else CLS_RECORDED_RATES[name])
+        if rate is None:
+            continue
+        cfg = _cls_cfg_for(name)
+        fl = flops.cls_train_step_flops(cfg, cls_tcfg, (50, 20))
+        peak = (flops.V5E_PEAK_BF16_FLOPS if "(bf16)" in name
+                else flops.V5E_PEAK_F32_FLOPS)
+        gfs = fl["total"] * rate / 1e9
+        print(f"| {name} | {rate / 1000:.1f}k | {gfs:.0f} "
+              f"| {100.0 * gfs * 1e9 / peak:.1f}% (of own-dtype peak) "
+              f"| - | - |")
 
 
 if __name__ == "__main__":
