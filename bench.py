@@ -54,12 +54,16 @@ def wait_for_backend(max_wait_s: float = 1800.0,
     ``jax.devices()`` blocks indefinitely — backend *bring-up* hangs,
     which the canary gate can never reach).  Probe device bring-up in a
     SUBPROCESS with a hard timeout (once the in-process runtime hangs it
-    cannot be recovered) and retry until the budget runs out.  Returns
-    True when a probe succeeds; False means the backend never answered
-    and the caller should record an explicit no-measurement artifact
-    instead of hanging the driver.
+    cannot be recovered) and retry until the budget runs out.  The
+    per-probe timeout ESCALATES (180 -> 360 -> 600 s) so a live-but-slow
+    backend (cold remote compile, a long queued device program blocking
+    the dispatch) is not misrecorded as an outage.  Returns True when a
+    probe succeeds; False means the backend never answered and the
+    caller should record an explicit no-measurement artifact instead of
+    hanging the driver.
     """
     deadline = time.monotonic() + max_wait_s
+    timeout_s = probe_timeout_s
     while True:
         try:
             subprocess.run(
@@ -67,13 +71,17 @@ def wait_for_backend(max_wait_s: float = 1800.0,
                  "import jax, numpy as np\n"
                  "x = jax.numpy.ones((128, 128))\n"
                  "assert float(np.asarray((x @ x).sum())) == 128.0 ** 3"],
-                timeout=probe_timeout_s, check=True,
+                timeout=min(timeout_s,
+                            max(deadline - time.monotonic(),
+                                probe_timeout_s)),
+                check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             return True
         except (subprocess.TimeoutExpired,
                 subprocess.CalledProcessError):
             if time.monotonic() >= deadline:
                 return False
+            timeout_s = min(timeout_s * 2, 600.0)
             time.sleep(60)
 
 

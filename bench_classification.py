@@ -82,9 +82,17 @@ def main():
                 classification_layer_sizes=[[50, 20]],
                 tie_weights=[True], mmae_test_variational=[False])
             expected, tag = 16, "validation bucket (16cfg, 1 bucket)"
+            # distinct metric name: a one-bucket pre-flight must not be
+            # machine-confusable with the full-job artifact
+            metric = "acii2017_classification_validation_bucket_" \
+                     "configs_per_hour"
         else:
             kwargs = {}      # the full reference grid: 36 buckets x 16
             expected, tag = 576, "FULL 576-setting job (36 buckets)"
+            metric = "acii2017_classification_576_configs_per_hour"
+        if args.compute_dtype == "bfloat16":
+            metric += "_bf16"
+            tag += ", phase-2 bf16 matmul operands"
 
         t0 = time.perf_counter()
         sweep = MMAEClassificationSweep(
@@ -108,7 +116,7 @@ def main():
         baseline = 648.0 / 2.0
         ph = sweep.phase_seconds
         print(json.dumps({
-            "metric": "acii2017_classification_576_configs_per_hour",
+            "metric": metric,
             "value": round(cfg_hr, 2),
             "unit": ("configs/hour, MEASURED end-to-end "
                      f"MMAEClassificationSweep.run() — {tag}, "
@@ -125,6 +133,7 @@ def main():
             "vs_baseline": round(cfg_hr / baseline, 3),
             "canary_inst_steps_per_s": round(canary),
             "canary_after_inst_steps_per_s": round(canary_after),
+            "compute_dtype": args.compute_dtype,
             "degraded": bool(not args.skip_canary
                              and min(canary, canary_after)
                              < bench_mod.CANARY_HEALTHY),

@@ -64,9 +64,22 @@ def _loader(path, supervised, args, wanted_label=None,
                       engine=args.engine)
 
 
+def _reject_z_score(args) -> None:
+    """The z-score prep is a baseline-CLI mode (comparison_algorithms/
+    svm.py:14,143-150); the MMAE sweeps fix sigmoid-CE reconstruction of
+    0-1-normalized inputs (autoencoder_wrapper.py:79-92), so z-scored
+    targets would silently break the training objective."""
+    if args.normalization == "z_score":
+        raise SystemExit(
+            "--normalization z_score is only valid for 'baseline' "
+            "commands; the MMAE sweeps train sigmoid-CE against "
+            "0-1-normalized inputs")
+
+
 def cmd_sweep_mmae(args) -> int:
     from multimodalautoencoder_tpu.sweep.wrappers import MMAESweep
 
+    _reject_z_score(args)
     unsup = _loader(args.filename, False, args)
     cls = (_loader(args.classification_filename, True, args)
            if args.classification_filename else None)
@@ -84,6 +97,7 @@ def cmd_sweep_classification(args) -> int:
     from multimodalautoencoder_tpu.sweep.wrappers import \
         MMAEClassificationSweep
 
+    _reject_z_score(args)
     unsup = _loader(args.mmae_filename, False, args)
     sup = _loader(args.classification_filename, True, args,
                   wanted_label=args.label)

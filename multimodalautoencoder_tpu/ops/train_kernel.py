@@ -1376,11 +1376,13 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
                 if cls_tcfg.optimizer_state_dtype == "bfloat16"
                 else jnp.float32)
 
-    # ---- fresh classification-head init (same initializer family as
-    # mmae.init; phase 2 re-initializes the head, set_classification_params
-    # -> rebuild_reinitialize, multimodal_autoencoder.py:898-930) ---------
+    # ---- fresh classification-head init (phase 2 re-initializes the
+    # head, set_classification_params -> rebuild_reinitialize,
+    # multimodal_autoencoder.py:898-930); init_head only, same derivation
+    # as the XLA phase-2 trainer (grid_trainer.attach_fresh_heads) ------
     inst_keys = jax.random.split(k_cls_init, N).reshape(C, K, 2)
-    cls0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys)
+    cls0_w, cls0_b = jax.vmap(jax.vmap(
+        lambda k: mmae.init_head(k, cfg)))(inst_keys)
 
     def pad_w(a, r, c):
         flat = a.reshape(N, a.shape[2], a.shape[3])
@@ -1409,8 +1411,8 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
     cls_ws, cls_bs, cls_rc = [], [], []
     for j in range(3):
         if j < n_cls:
-            cls_ws.append(pad_w(cls0.cls_w[j], dims[j], dims[j + 1]))
-            cls_bs.append(pad_b(cls0.cls_b[j], dims[j + 1]))
+            cls_ws.append(pad_w(cls0_w[j], dims[j], dims[j + 1]))
+            cls_bs.append(pad_b(cls0_b[j], dims[j + 1]))
             cls_rc.append((dims[j], dims[j + 1]))
         else:
             cls_ws.append(jnp.zeros((N, SUB, LANE), jnp.float32))

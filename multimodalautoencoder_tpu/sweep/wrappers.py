@@ -855,8 +855,18 @@ class MMAEClassificationSweep:
         if not self.share_phase1:
             return False
         n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
+        if n_dev == 1:
+            return True
+        if self.backend == "pallas":
+            # forced pallas on a multi-device config axis must use the
+            # unshared fused shard_map path on ANY platform — the shared
+            # phase 2 would raise (train_phase2_shared_sharded)
+            return False
+        # 'auto' on a multi-device accelerator prefers the unshared fused
+        # pallas path (faster than the mesh-general XLA shared phase 2);
+        # 'xla', and 'auto' on CPU meshes, keep sharing via XLA phase 2
         on_accel = jax.devices()[0].platform in ("tpu", "axon")
-        return not (on_accel and n_dev > 1 and self.backend != "xla")
+        return not (on_accel and self.backend != "xla")
 
     def _prepare_families(self, buckets):
         """Group buckets by phase-1 family (preserving first-seen family

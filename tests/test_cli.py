@@ -97,3 +97,16 @@ def test_jobs_cli(tmp_path):
     jf2 = tmp_path / "jobs2.txt"
     jf2.write_text(f"B\nexit 2\n{tmp_path}/b.txt\n")
     assert cli.main(["jobs", str(jf2), "--min-seconds", "0"]) == 1
+
+
+def test_sweep_cli_rejects_z_score(csv_path):
+    """The z-score prep belongs to the baseline CLIs only
+    (comparison_algorithms/svm.py:143-150); the MMAE sweeps fix
+    sigmoid-CE reconstruction of 0-1 inputs, so the flag combination is
+    rejected instead of silently training against unbounded targets."""
+    import pytest
+    with pytest.raises(SystemExit, match="z_score"):
+        cli.main(["sweep-mmae", csv_path, "--normalization", "z_score"])
+    with pytest.raises(SystemExit, match="z_score"):
+        cli.main(["sweep-classification", csv_path, csv_path,
+                  "--normalization", "z_score"])

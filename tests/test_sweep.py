@@ -8,6 +8,7 @@ import pytest
 
 from multimodalautoencoder_tpu.data import synthetic
 from multimodalautoencoder_tpu.data.loader import DataLoader
+from multimodalautoencoder_tpu.parallel import mesh
 from multimodalautoencoder_tpu.sweep import engine, wrappers
 
 
@@ -387,3 +388,26 @@ def test_classification_shared_phase1_semantics(loaders, tmp_path):
     # independent retraining: per-setting phase-1 losses all distinct
     assert df_f["val_mmae_loss"].nunique() == 8
     assert sorted(df.columns) == sorted(df_f.columns)
+
+
+def test_share_active_gate_forced_pallas_multidevice(loaders, tmp_path):
+    """A forced pallas backend on a multi-device config axis must fall
+    back to the UNSHARED fused path on any platform: the shared phase 2
+    (train_phase2_shared_sharded) requires a 1-device config axis and
+    would raise.  'auto'/'xla' keep sharing on the CPU test mesh."""
+    unsup, sup = loaders
+    kwargs = dict(
+        mmae_layer_sizes=[[12, 6]], classification_layer_sizes=[[8]],
+        tie_weights=[True], mmae_dropout_probs=[1.0],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0], activation_funcs=["relu"],
+        mmae_num_steps=5, classification_num_steps=5,
+        num_cross_folds=2, verbose=False)
+    for backend, share in (("pallas", False), ("auto", True),
+                           ("xla", True)):
+        sweep = wrappers.MMAEClassificationSweep(
+            unsup, sup, results_path=str(tmp_path / backend),
+            backend=backend, **kwargs)
+        assert sweep.mesh.shape[mesh.CONFIG_AXIS] > 1    # default mesh
+        assert sweep._share_active() is share, backend

@@ -298,10 +298,10 @@ def xla_two_phase_ref(cfg, tcfg, cls_tcfg, X, Y, cls_wpen, n):
     enc_key = jax.random.split(k_init, 1).reshape(1, 1, 2)[0, 0]
     p1 = mmae_lib.init(enc_key, cfg1)
     cls_key = jax.random.split(k_cls_init, 1).reshape(1, 1, 2)[0, 0]
-    pc = mmae_lib.init(cls_key, cfg)
+    cls_w, cls_b = mmae_lib.init_head(cls_key, cfg)
     p = mmae_lib.MMAEParams(
         enc_w=p1.enc_w, enc_b=p1.enc_b, dec_w=p1.dec_w, dec_b=p1.dec_b,
-        var_w=p1.var_w, var_b=p1.var_b, cls_w=pc.cls_w, cls_b=pc.cls_b)
+        var_w=p1.var_w, var_b=p1.var_b, cls_w=cls_w, cls_b=cls_b)
     xb = jnp.asarray(np.repeat(X, cls_tcfg.batch_size, axis=0))
     if Y.ndim == 1:
         yb = jnp.asarray(np.repeat(Y, cls_tcfg.batch_size, axis=0))

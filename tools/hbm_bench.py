@@ -43,10 +43,7 @@ Usage: python tools/hbm_bench.py  (runs on the session's real TPU; one
 JSON-ish line per pattern).  Reference for the workload: the streamed
 moment layout in ops/train_kernel.py:418-472.
 """
-import sys
 import time
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 import jax
