@@ -551,3 +551,25 @@ def test_cls_kernel_bf16_mode():
     # but not bitwise equal
     np.testing.assert_allclose(np.asarray(lbf), np.asarray(l32),
                                rtol=1e-4)
+
+
+def test_cls_kernel_bf16_streamed():
+    """bf16 matmul operands compose with the HBM-streamed W1 moment
+    path (the full-scale arch-1000 buckets hit both together)."""
+    (cfg, tcfg, cls_tcfg, spec, X, Y, unsup, sup, hyper,
+     chyper) = make_two_phase(cls_layers=(8,), steps2=3)
+    cfg_bf = cfg.replace(compute_dtype="bfloat16").validate()
+    p32, _, _ = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg, tcfg, cls_tcfg, spec, hyper, chyper,
+        unsup, sup, num_steps=1, cls_num_steps=3, force_stream=True,
+        adam_eps=ADAM_EPS)
+    pbf, _, prbf = tk.train_two_phase_pallas(
+        jax.random.PRNGKey(0), cfg_bf, tcfg, cls_tcfg, spec, hyper,
+        chyper, unsup, sup, num_steps=1, cls_num_steps=3,
+        force_stream=True, adam_eps=ADAM_EPS)
+    for a, b in zip(jax.tree_util.tree_leaves(p32),
+                    jax.tree_util.tree_leaves(pbf)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, atol=5e-3)
+    assert np.isfinite(np.asarray(prbf)).all()
