@@ -72,8 +72,7 @@ def wait_for_backend(max_wait_s: float = 1800.0,
                  "x = jax.numpy.ones((128, 128))\n"
                  "assert float(np.asarray((x @ x).sum())) == 128.0 ** 3"],
                 timeout=min(timeout_s,
-                            max(deadline - time.monotonic(),
-                                probe_timeout_s)),
+                            max(deadline - time.monotonic(), 60.0)),
                 check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             return True
@@ -92,10 +91,11 @@ def backend_down_record(metric: str) -> dict:
         "metric": metric,
         "value": 0.0,
         "unit": ("NO MEASUREMENT: TPU backend unreachable (tunnel "
-                 "worker down; jax device bring-up timed out for 30 "
-                 "min).  Environment outage, not a property of this "
-                 "software — see the previous round's artifact for the "
-                 "last healthy measurement."),
+                 "worker down; every jax device bring-up probe timed "
+                 "out across the full wait budget).  Environment "
+                 "outage, not a property of this software — see the "
+                 "previous round's artifact for the last healthy "
+                 "measurement."),
         "vs_baseline": 0.0,
         "degraded": True,
         "backend_unreachable": True,

@@ -52,10 +52,27 @@ def main():
                          "either way")
     args = ap.parse_args()
 
+    if args.validation_bucket:
+        kwargs = dict(
+            mmae_layer_sizes=[[1000, 100]],
+            classification_layer_sizes=[[50, 20]],
+            tie_weights=[True], mmae_test_variational=[False])
+        expected, tag = 16, "validation bucket (16cfg, 1 bucket)"
+        # distinct metric name: a one-bucket pre-flight must not be
+        # machine-confusable with the full-job artifact
+        metric = "acii2017_classification_validation_bucket_" \
+                 "configs_per_hour"
+    else:
+        kwargs = {}          # the full reference grid: 36 buckets x 16
+        expected, tag = 576, "FULL 576-setting job (36 buckets)"
+        metric = "acii2017_classification_576_configs_per_hour"
+    if args.compute_dtype == "bfloat16":
+        metric += "_bf16"
+        tag += ", phase-2 bf16 matmul operands"
+
     import bench as bench_mod
     if not bench_mod.wait_for_backend():
-        print(json.dumps(bench_mod.backend_down_record(
-            "acii2017_classification_576_configs_per_hour")))
+        print(json.dumps(bench_mod.backend_down_record(metric)))
         return
 
     from multimodalautoencoder_tpu.utils.cache import \
@@ -75,24 +92,6 @@ def main():
         unsup, sup = synthetic.reference_scale_loaders(workdir)
 
         canary = 0.0 if args.skip_canary else _wait_for_healthy_chip()
-
-        if args.validation_bucket:
-            kwargs = dict(
-                mmae_layer_sizes=[[1000, 100]],
-                classification_layer_sizes=[[50, 20]],
-                tie_weights=[True], mmae_test_variational=[False])
-            expected, tag = 16, "validation bucket (16cfg, 1 bucket)"
-            # distinct metric name: a one-bucket pre-flight must not be
-            # machine-confusable with the full-job artifact
-            metric = "acii2017_classification_validation_bucket_" \
-                     "configs_per_hour"
-        else:
-            kwargs = {}      # the full reference grid: 36 buckets x 16
-            expected, tag = 576, "FULL 576-setting job (36 buckets)"
-            metric = "acii2017_classification_576_configs_per_hour"
-        if args.compute_dtype == "bfloat16":
-            metric += "_bf16"
-            tag += ", phase-2 bf16 matmul operands"
 
         t0 = time.perf_counter()
         sweep = MMAEClassificationSweep(

@@ -137,11 +137,16 @@ def cmd_baseline(args) -> int:
 def cmd_train(args) -> int:
     from multimodalautoencoder_tpu.api import MultimodalAutoencoder
 
+    # the facade applies the reference's normalization/loss coercions
+    # (multimodal_autoencoder.py:174-184) via MMAEConfig.validate
     model = MultimodalAutoencoder(
         filename=args.filename, layer_sizes=args.arch,
         variational=args.variational,
         normalize_and_fill=args.normalize_and_fill,
-        fill_gaps_with=(-1.0 if args.normalize_and_fill else None),
+        normalization=args.normalization,
+        fill_gaps_with=(-1.0 if (args.normalize_and_fill
+                                 and args.normalization
+                                 == "between_0_and_1") else None),
         checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         learning_rate=args.learning_rate, batch_size=args.batch_size)
     model.train(num_steps=args.num_steps)
@@ -159,7 +164,10 @@ def _restore(args):
 
     dl = DataLoader(args.filename, supervised=False,
                     normalize_and_fill=args.normalize_and_fill,
-                    fill_gaps_with=(-1.0 if args.normalize_and_fill
+                    normalization=args.normalization,
+                    fill_gaps_with=(-1.0 if (args.normalize_and_fill
+                                             and args.normalization
+                                             == "between_0_and_1")
                                     else None),
                     suppress_output=True, engine=args.engine)
     from multimodalautoencoder_tpu.config import MMAEConfig

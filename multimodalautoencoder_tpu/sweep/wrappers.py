@@ -864,7 +864,13 @@ class MMAEClassificationSweep:
             return False
         # 'auto' on a multi-device accelerator prefers the unshared fused
         # pallas path (faster than the mesh-general XLA shared phase 2);
-        # 'xla', and 'auto' on CPU meshes, keep sharing via XLA phase 2
+        # 'xla', and 'auto' on CPU meshes, keep sharing via XLA phase 2.
+        # Known limitation: the decision is global, so on a multi-chip
+        # accelerator 'auto' also forgoes sharing for shape families
+        # OUTSIDE the kernel family (which would have taken the XLA
+        # shared path) — moot for the reference grid, whose 36 families
+        # are all kernel-supported; pass backend='xla' to force sharing
+        # for custom out-of-family grids on multi-chip meshes.
         on_accel = jax.devices()[0].platform in ("tpu", "axon")
         return not (on_accel and self.backend != "xla")
 

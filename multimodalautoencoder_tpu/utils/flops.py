@@ -108,8 +108,8 @@ def train_step_hbm_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
     return float(panels + streamed)
 
 
-def cls_train_step_flops(cfg: MMAEConfig, tcfg: TrainConfig,
-                         cls_layer_sizes) -> Dict[str, float]:
+def cls_train_step_flops(cfg: MMAEConfig,
+                         tcfg: TrainConfig) -> Dict[str, float]:
     """FLOPs of ONE phase-2 classification training step of ONE
     (config, fold) cell (ops/train_kernel._cls_train_kernel step):
     encoder forward (frozen decoder never runs), classifier-head
@@ -125,7 +125,8 @@ def cls_train_step_flops(cfg: MMAEConfig, tcfg: TrainConfig,
     B = tcfg.batch_size
     F = cfg.num_feats
     H1, H2 = cfg.layer_sizes
-    dims = [H2] + list(cls_layer_sizes) + [cfg.num_labels]
+    dims = ([H2] + list(cfg.classification_layer_sizes or ())
+            + [cfg.num_labels])
 
     # encoder forward: x@W1, a1@W2 (+ a1@Wv for the VAE head)
     fwd = 2 * B * (F * H1 + H1 * H2)

@@ -60,7 +60,7 @@ def test_cls_flops_positive_and_structured():
                            num_steps=15000, clip_gradients=False,
                            optimizer_state_dtype="bfloat16")
     c = cfg(classification_layer_sizes=(50, 20), num_labels=1)
-    r = flops.cls_train_step_flops(c, CLS_TCFG, (50, 20))
+    r = flops.cls_train_step_flops(c, CLS_TCFG)
     assert r["total"] > 0 and r["mxu"] > r["vpu"]
     # phase 2 (batch 100, no decoder) does more matmul work per step
     # than phase 1 (batch 20, with decoder) for the same encoder
@@ -69,6 +69,6 @@ def test_cls_flops_positive_and_structured():
     # VAE adds the variance head's forward+backward
     cv = cfg(tie_weights=False, variational=True,
              classification_layer_sizes=(50, 20), num_labels=1)
-    rv = flops.cls_train_step_flops(cv, CLS_TCFG, (50, 20))
+    rv = flops.cls_train_step_flops(cv, CLS_TCFG)
     assert rv["mxu"] > r["mxu"]
     assert rv["adam_elems"] > r["adam_elems"]

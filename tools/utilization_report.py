@@ -80,7 +80,8 @@ def _measure(name: str, tcfg) -> float:
     run(0)
     t0 = time.perf_counter()
     run(1)
-    return 60 * 1500 / (time.perf_counter() - t0)
+    n_inst = hyper.num_configs * folded.train_x.shape[0]
+    return n_inst * 1500 / (time.perf_counter() - t0)
 
 
 def _cls_cfg_for(name: str):
@@ -134,7 +135,8 @@ def _measure_cls(name: str, tcfg, cls_tcfg) -> float:
     run(0)
     t0 = time.perf_counter()
     run(1)
-    return 60 * STEPS / (time.perf_counter() - t0)
+    n_inst = hyper.num_configs * sup.train_x.shape[0]
+    return n_inst * STEPS / (time.perf_counter() - t0)
 
 
 def main():
@@ -176,7 +178,7 @@ def main():
         if rate is None:
             continue
         cfg = _cls_cfg_for(name)
-        fl = flops.cls_train_step_flops(cfg, cls_tcfg, (50, 20))
+        fl = flops.cls_train_step_flops(cfg, cls_tcfg)
         peak = (flops.V5E_PEAK_BF16_FLOPS if "(bf16)" in name
                 else flops.V5E_PEAK_F32_FLOPS)
         gfs = fl["total"] * rate / 1e9
