@@ -138,13 +138,22 @@ def init_head(rng: Array, cfg: MMAEConfig
     return cls_w, cls_b
 
 
+def mxu_dot(a: Array, b: Array, bf16: bool) -> Array:
+    """THE mixed-precision matmul policy, shared by the XLA model path
+    and both Pallas kernel families (ops/pallas_kernels._kernel,
+    ops/train_kernel._cls_train_kernel): with ``bf16`` the OPERANDS are
+    cast to bfloat16 (2x MXU peak) while accumulation stays f32
+    (preferred_element_type); storage, optimizer math, losses, and
+    masks are the callers' responsibility and stay f32."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _matmul(x: Array, w: Array, cfg: MMAEConfig) -> Array:
-    """Dense matmul on the MXU.  With compute_dtype='bfloat16' operands
-    are cast down and accumulation stays f32 (preferred_element_type)."""
-    if cfg.compute_dtype == "bfloat16":
-        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    return x @ w
+    """Dense matmul on the MXU (mixed-precision policy: mxu_dot)."""
+    return mxu_dot(x, w, cfg.compute_dtype == "bfloat16")
 
 
 def _activate(x: Array, name: str, act_id: Optional[Array]) -> Array:

@@ -62,12 +62,10 @@ def _on_tpu() -> bool:
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, activation: str,
             bf16: bool):
-    x = x_ref[:]
-    w = w_ref[:]
-    if bf16:
-        x = x.astype(jnp.bfloat16)
-        w = w.astype(jnp.bfloat16)
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from multimodalautoencoder_tpu.models import mmae
+
+    # mixed-precision policy shared with the XLA path: mmae.mxu_dot
+    acc = mmae.mxu_dot(x_ref[:], w_ref[:], bf16)
     acc = acc + b_ref[:].astype(jnp.float32)[None, :]
     o_ref[:] = _ACT_FNS[activation](acc)
 

@@ -71,6 +71,7 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
+from multimodalautoencoder_tpu.models import mmae
 
 LANE = 128
 SUB = 8
@@ -594,7 +595,6 @@ def _cached_pipeline(cfg: MMAEConfig, tcfg: TrainConfig, num_steps: int,
 
 def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
               interpret, elem_p, force_stream=False):
-    from multimodalautoencoder_tpu.models import mmae
 
     C = hyper.num_configs
     K = folded.train_x.shape[0]
@@ -889,8 +889,15 @@ def needs_cls_streaming(cfg: MMAEConfig, cls_tcfg: TrainConfig) -> bool:
 
 
 def _phase1_cfg(cfg: MMAEConfig) -> MMAEConfig:
-    """The phase-1 view of a two-phase config: no classification head."""
-    return cfg.replace(classification_layer_sizes=None).validate()
+    """The phase-1 view of a two-phase config: no classification head.
+
+    compute_dtype is pinned to float32: the bf16 matmul mode is a
+    PHASE-2 knob (the phase-1 kernel always computes f32), and keeping
+    the phase-1 cfg dtype-invariant keeps its loss evaluator / pipeline
+    HLO byte-identical with the f32 MMAE sweep's — one shared remote
+    compile per shape family regardless of the phase-2 dtype."""
+    return cfg.replace(classification_layer_sizes=None,
+                       compute_dtype="float32").validate()
 
 
 def supported_two_phase(cfg: MMAEConfig, tcfg: TrainConfig,
@@ -953,15 +960,13 @@ def _cls_train_kernel(
     pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
 
     def _dot(a, b):
-        # bf16 operands / f32 accumulation: phase 2 at batch 100 is
+        # bf16 operands / f32 accumulation (mmae.mxu_dot — the shared
+        # mixed-precision policy): phase 2 at batch 100 is
         # MXU-f32-bound (~0.5 GFLOP/step for arch-1000; measured ~13 s
         # per 16x5x15k bucket = the f32 MXU roofline), so casting the
         # matmul operands buys the bf16/f32 MXU rate ratio.  Optimizer
         # math, losses, and masks stay f32.
-        if bf16:
-            a = a.astype(jnp.bfloat16)
-            b = b.astype(jnp.bfloat16)
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return mmae.mxu_dot(a, b, bf16)
 
     fold = fold_ref[i]
     n_valid = n_ref[i]
@@ -1229,6 +1234,13 @@ def train_two_phase_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig,
     with (C, K) leading axes — phase-1 noisy-val losses and phase-2 val
     predictions (computed by the identical XLA evaluator, so objective
     and prediction semantics match the XLA backend exactly).
+
+    bf16 caveat: step-exactness vs XLA is a float32 property.  With
+    ``compute_dtype='bfloat16'`` this kernel also rounds the backward
+    COTANGENTS to bf16 in weight-gradient matmuls (full MXU bf16 rate),
+    whereas XLA autodiff of the cast-operand forward keeps cotangents
+    f32 — a deliberate perf choice; the backends then agree to bf16
+    rounding (tests pin atol 5e-3 over several steps), not bitwise.
     """
     statics = two_phase_statics(cfg, tcfg, cls_tcfg, spec, num_steps,
                                 cls_num_steps, interpret, force_stream,
@@ -1354,7 +1366,6 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
     come from the same ``jax.random.split(rng, 4)`` as the fused
     pipeline, so both paths produce identical results."""
     from multimodalautoencoder_tpu.models import losses as losses_lib
-    from multimodalautoencoder_tpu.models import mmae
 
     C = hyper.num_configs
     K = sup_folded.train_x.shape[0]

@@ -623,8 +623,11 @@ def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
         unsup = jax.device_put(unsup_folded, mesh_lib.replicated(mesh))
         sup = jax.device_put(sup_folded, mesh_lib.replicated(mesh))
         k1, k2 = jax.random.split(rng)
-        params, losses = train_grid_jit(k1, cfg, tcfg, spec, hyper_p,
-                                        unsup, num_steps)
+        # compute_dtype is a phase-2 knob on every path: phase 1 always
+        # computes f32 (matches the kernels and train_phase1_shared)
+        params, losses = train_grid_jit(
+            k1, cfg.replace(compute_dtype="float32"), tcfg, spec,
+            hyper_p, unsup, num_steps)
         params, preds = train_classification_grid_jit(
             k2, cfg, cls_tcfg, spec, params, hyper_p, chyper_p, sup,
             cls_num_steps)
@@ -648,7 +651,11 @@ def train_phase1_shared(mesh: "jax.sharding.Mesh", rng: Array,
     (setting, family) pretraining runs are distinct.  Both backends
     return the same standard headless pytree, so phase-1/phase-2
     backends mix freely (the kernels are step-exact vs XLA)."""
-    p1_cfg = cfg.replace(classification_layer_sizes=None).validate()
+    # phase 1 is dtype-invariant: compute_dtype is a phase-2 knob, and a
+    # float32 pin keeps the phase-1 executable shared across phase-2
+    # dtypes (see ops/train_kernel._phase1_cfg, kept in lockstep)
+    p1_cfg = cfg.replace(classification_layer_sizes=None,
+                         compute_dtype="float32").validate()
     return train_grid_sharded(mesh, rng, p1_cfg, tcfg, spec, hyper_u,
                               unsup_folded, num_steps, backend)
 

@@ -693,9 +693,10 @@ class MMAEClassificationSweep:
             cls_loss = "sigmoid_cross_entropy"
             out_labels = num_labels or 2
         # compute_dtype='bfloat16' casts MATMUL OPERANDS (accumulation
-        # stays f32) in phase 2 and the evaluators; the phase-1 Pallas
-        # kernel always computes f32, so the sweep's phase-1 parity
-        # observables are unaffected on the TPU path
+        # stays f32) in phase-2 training and its evaluators; phase 1 is
+        # pinned to f32 on EVERY backend (train_kernel._phase1_cfg,
+        # grid_trainer.train_phase1_shared) so val_mmae_loss and the
+        # shared phase-1 executable are byte-identical across dtypes
         self.base_cfg = MMAEConfig(
             num_feats=data_loader.num_feats,
             loss="sigmoid_cross_entropy",
