@@ -162,6 +162,19 @@ def adagrad_update(grads, state: AdagradState, params, lr,
 OPTIMIZERS = ("adam", "sgd", "adagrad")
 
 
+def state_dtype(name) -> object:
+    """Resolve a TrainConfig.optimizer_state_dtype string to the moment
+    dtype for *_init (None = match the parameter dtype, i.e. float32).
+    The single validation point — unknown strings raise instead of
+    silently meaning float32."""
+    if name in (None, "float32"):
+        return None
+    if name == "bfloat16":
+        return jnp.bfloat16
+    raise ValueError(f"unknown optimizer_state_dtype {name!r} "
+                     "(float32 or bfloat16)")
+
+
 def opt_init(name: str, params, state_dtype=None):
     """Optimizer state for ``name`` ('adam' | 'sgd' | 'adagrad' — the
     reference's recognized set, generic_wrapper.py:233-239)."""

@@ -72,6 +72,7 @@ except Exception:  # pragma: no cover
 
 from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
 from multimodalautoencoder_tpu.models import mmae
+from multimodalautoencoder_tpu.ops import optim
 
 LANE = 128
 SUB = 8
@@ -608,12 +609,13 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     tied = cfg.tie_weights
     stream_big = ((vmem_bytes(cfg, tcfg) > VMEM_BUDGET or force_stream)
                   and not tied)
-    state_dt = (jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16"
-                else jnp.float32)
+    state_dt = optim.state_dtype(tcfg.optimizer_state_dtype) \
+        or jnp.float32
 
     # ---- init params with the exact XLA initializer, then pad ----------
     k_init, k_eval = jax.random.split(rng)
-    inst_keys = jax.random.split(k_init, N).reshape(C, K, 2)
+    inst_keys = jax.random.split(k_init, N).reshape(
+        (C, K) + k_init.shape)
     params0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys)
 
     def pad_w(a, r, c):
@@ -1383,15 +1385,15 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
     softmax = cfg.classification_loss == "softmax"
     stream_big = (cls_vmem_bytes(cfg, cls_tcfg) > VMEM_BUDGET
                   or force_stream)
-    state_dt = (jnp.bfloat16
-                if cls_tcfg.optimizer_state_dtype == "bfloat16"
-                else jnp.float32)
+    state_dt = optim.state_dtype(cls_tcfg.optimizer_state_dtype) \
+        or jnp.float32
 
     # ---- fresh classification-head init (phase 2 re-initializes the
     # head, set_classification_params -> rebuild_reinitialize,
     # multimodal_autoencoder.py:898-930); init_head only, same derivation
     # as the XLA phase-2 trainer (grid_trainer.attach_fresh_heads) ------
-    inst_keys = jax.random.split(k_cls_init, N).reshape(C, K, 2)
+    inst_keys = jax.random.split(k_cls_init, N).reshape(
+        (C, K) + k_cls_init.shape)
     cls0_w, cls0_b = jax.vmap(jax.vmap(
         lambda k: mmae.init_head(k, cfg)))(inst_keys)
 

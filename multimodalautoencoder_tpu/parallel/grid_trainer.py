@@ -44,6 +44,27 @@ from multimodalautoencoder_tpu.parallel import mesh as mesh_lib
 
 Array = jax.Array
 
+# activation-key aliases accepted by BOTH hyper stacks (sweep ledgers
+# use activation_function, the reference ctor uses activation_func)
+_ACT_KEYS = ("activation_function", "activation_func", "activation")
+
+
+def _pick(s: Dict[str, Any], names, default):
+    for n in names:
+        if n in s:
+            return s[n]
+    return default
+
+
+def _pad_rows(a: Array, n: int) -> Array:
+    """Pad the leading (config) axis to n by duplicating the last row
+    (padded rows are trimmed after the sharded computation)."""
+    c = a.shape[0]
+    if n == c:
+        return a
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[-1:], (n - c,) + a.shape[1:])])
+
 
 @dataclasses.dataclass(frozen=True)
 class HyperStack:
@@ -58,25 +79,20 @@ class HyperStack:
     def from_settings(cls, settings: Sequence[Dict[str, Any]],
                       cfg: MMAEConfig, tcfg: TrainConfig) -> "HyperStack":
         """Build from sweep setting dicts, falling back to cfg/tcfg
-        defaults.  Recognized keys: learning_rate, dropout_prob,
-        weight_penalty, activation/activation_func/activation_function.
+        defaults (the searched keys of the reference grids,
+        autoencoder_wrapper.py:127-136).  Recognized keys: learning_rate,
+        dropout_prob, weight_penalty,
+        activation/activation_func/activation_function.
         Sweeps with prefixed columns (e.g. ``mmae_dropout_prob`` in the
         two-phase classification grid) must remap before calling — mixed
         prefixes in one dict would be ambiguous."""
-        def pick(s, names, default):
-            for n in names:
-                if n in s:
-                    return s[n]
-            return default
-
         lr, kp, wp, act = [], [], [], []
         for s in settings:
             lr.append(float(s.get("learning_rate", tcfg.learning_rate)))
             kp.append(float(s.get("dropout_prob", cfg.dropout_prob)))
             wp.append(float(s.get("weight_penalty", cfg.weight_penalty)))
-            act.append(mmae.activation_id(pick(
-                s, ("activation_function", "activation_func", "activation"),
-                cfg.activation)))
+            act.append(mmae.activation_id(_pick(
+                s, _ACT_KEYS, cfg.activation)))
         return cls(lr=jnp.asarray(lr, jnp.float32),
                    keep_prob=jnp.asarray(kp, jnp.float32),
                    weight_penalty=jnp.asarray(wp, jnp.float32),
@@ -87,13 +103,9 @@ class HyperStack:
         return int(self.lr.shape[0])
 
     def pad_to(self, n: int) -> "HyperStack":
-        c = self.num_configs
-        if n == c:
-            return self
-        pad = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[-1:], (n - c,) + a.shape[1:])])
-        return HyperStack(pad(self.lr), pad(self.keep_prob),
-                          pad(self.weight_penalty), pad(self.act_id))
+        return HyperStack(*(_pad_rows(a, n) for a in
+                            (self.lr, self.keep_prob,
+                             self.weight_penalty, self.act_id)))
 
 
 jax.tree_util.register_dataclass(
@@ -206,8 +218,7 @@ def _train_one_instance(rng: Array, hyper: dict, cfg: MMAEConfig,
     """
     k_init, k_run = jax.random.split(rng)
     params = mmae.init(k_init, cfg)
-    sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
-        else None
+    sdt = optim.state_dtype(tcfg.optimizer_state_dtype)
     state = (params, optim.opt_init(tcfg.optimizer, params, sdt),
              jnp.zeros((), jnp.int32), k_run)
 
@@ -295,7 +306,9 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
                        hyper: HyperStack, folded: FoldedData,
                        num_steps: Optional[int] = None,
                        backend: str = "auto"):
-    """Shard the config axis over the mesh and train the grid.
+    """Shard the config axis over the mesh and train the grid (the
+    mesh-parallel form of the reference's serial settings x folds sweep
+    loop, generic_wrapper.py:253-254, :298-300).
 
     ``backend``: 'xla' (vmapped scan), 'pallas' (the VMEM-resident
     training mega-kernel, ops/train_kernel.py), or 'auto' — pallas on
@@ -387,20 +400,16 @@ class ClassifierHyperStack:
             wp.append(float(s.get("weight_penalty",
                                   cfg.classification_weight_penalty)))
             act.append(mmae.activation_id(
-                s.get("activation_func", default_act)))
+                _pick(s, _ACT_KEYS, default_act)))
         return cls(keep_prob=jnp.asarray(kp, jnp.float32),
                    weight_penalty=jnp.asarray(wp, jnp.float32),
                    cls_act_id=jnp.asarray(act, jnp.int32))
 
     def pad_to(self, n: int) -> "ClassifierHyperStack":
-        c = self.keep_prob.shape[0]
-        if n == c:
-            return self
-        pad = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[-1:], (n - c,) + a.shape[1:])])
-        return ClassifierHyperStack(pad(self.keep_prob),
-                                    pad(self.weight_penalty),
-                                    pad(self.cls_act_id))
+        return ClassifierHyperStack(*(_pad_rows(a, n) for a in
+                                      (self.keep_prob,
+                                       self.weight_penalty,
+                                       self.cls_act_id)))
 
 
 jax.tree_util.register_dataclass(
@@ -419,8 +428,7 @@ def _train_classification_instance(rng: Array, params, enc_act_id: Array,
     (multimodal_autoencoder.py:606-647): noisy supervised batches ->
     classification loss -> Adam over all upstream params.  Returns
     (params, val predictions on the padded fold-val set)."""
-    sdt = jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
-        else None
+    sdt = optim.state_dtype(tcfg.optimizer_state_dtype)
     state = (params, optim.opt_init(tcfg.optimizer, params, sdt),
              jnp.zeros((), jnp.int32), rng)
     clip = tcfg.clip_norm if tcfg.clip_gradients else None
@@ -510,7 +518,8 @@ def attach_fresh_heads(rng: Array, cfg: MMAEConfig, params_headless):
     head before phase 2: set_classification_params ->
     rebuild_reinitialize, multimodal_autoencoder.py:898-930)."""
     C, K = params_headless.enc_b[0].shape[:2]
-    inst_keys = jax.random.split(rng, C * K).reshape(C, K, 2)
+    # (C, K) + rng.shape: robust to non-threefry key representations
+    inst_keys = jax.random.split(rng, C * K).reshape((C, K) + rng.shape)
 
     def one(k, p):
         cls_w, cls_b = mmae.init_head(k, cfg)
@@ -609,6 +618,13 @@ def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
                                                  spec, num_steps,
                                                  cls_num_steps)
         if mesh.shape[mesh_lib.CONFIG_AXIS] > 1:
+            # NOTE: this multi-device path dispatches each device's
+            # FUSED p1+p2 program.  The 1-device split below exists
+            # because this rig's TUNNEL worker kills programs beyond a
+            # ~2 min device-time duration limit — a relay property, not
+            # a TPU one; if a direct-attached multi-chip runtime shows
+            # the same limit, split this path the same way (phase-1
+            # sharded grid, then a sharded phase-2-only shard_map)
             fn = _two_phase_sharded_jit(mesh, *statics)
         else:
             # two dispatches (phase 1, then phase 2): the fused program

@@ -74,8 +74,7 @@ def _apply_update(state: TrainState, grads, tcfg: TrainConfig, lr0=None):
 
 
 def _state_dtype(tcfg: TrainConfig):
-    return jnp.bfloat16 if tcfg.optimizer_state_dtype == "bfloat16" \
-        else None
+    return optim.state_dtype(tcfg.optimizer_state_dtype)
 
 
 def init_state(rng: Array, cfg: MMAEConfig,
