@@ -79,6 +79,16 @@ class MultimodalAutoencoder:
         constructs its loader with normalize_and_fill=False (:190-194),
         assuming pre-cleaned files — pass True here to normalize/impute
         raw CSVs in one step."""
+        # the reference applies the VAE / z-score+entropy overrides
+        # BEFORE building its loader (multimodal_autoencoder.py:174-194),
+        # so the loaders must see the EFFECTIVE normalization — otherwise
+        # a z-scored loader would feed unbounded targets to the coerced
+        # sigmoid-CE objective.  MMAEConfig.validate applies the same two
+        # rules, so cfg and loaders stay consistent.
+        if variational or (normalization == "z_score"
+                           and "entropy" in loss_func):
+            normalization = "between_0_and_1"
+
         if data_loader is not None:
             self.data_loader = data_loader
         elif filename is not None:
@@ -92,27 +102,6 @@ class MultimodalAutoencoder:
         else:
             raise ValueError("must set either filename or data_loader")
 
-        self.cfg = MMAEConfig(
-            num_feats=self.data_loader.num_feats,
-            layer_sizes=tuple(layer_sizes), variational=variational,
-            tie_weights=tie_weights, dropout_prob=dropout_prob,
-            weight_penalty=weight_penalty, activation=activation_func,
-            loss=loss_func, weight_initialization=weight_initialization,
-            normalization=normalization,
-            intelligent_noise=intelligent_noise,
-            num_modalities_to_drop=num_modalities_to_drop,
-            fill_missing_with=fill_missing_with, mask_with=mask_with,
-            classification_layer_sizes=(
-                None if classification_layer_sizes is None
-                else tuple(classification_layer_sizes)),
-            compute_dtype=compute_dtype).validate()
-        self.tcfg = TrainConfig(
-            learning_rate=learning_rate, batch_size=batch_size,
-            decay=decay, decay_steps=decay_steps, decay_rate=decay_rate,
-            clip_gradients=clip_gradients, seed=seed)
-        # phase-2 defaults (:215-220)
-        self.classification_tcfg = ClassifierTrainConfig(seed=seed)
-
         self.classification_data_loader = classification_data_loader
         if (classification_layer_sizes is not None
                 and classification_data_loader is None
@@ -124,6 +113,34 @@ class MultimodalAutoencoder:
                 normalization=normalization,
                 fill_missing_with=fill_missing_with,
                 fill_gaps_with=fill_gaps_with, seed=seed)
+        # head width from the classification loader's label count, like
+        # the reference (:323-327: defaults to 2 when unset)
+        cls_dl = self.classification_data_loader
+        num_labels = (len(cls_dl.wanted_labels)
+                      if cls_dl is not None and cls_dl.wanted_labels
+                      else 2)
+
+        self.cfg = MMAEConfig(
+            num_feats=self.data_loader.num_feats,
+            layer_sizes=tuple(layer_sizes), variational=variational,
+            tie_weights=tie_weights, dropout_prob=dropout_prob,
+            weight_penalty=weight_penalty, activation=activation_func,
+            loss=loss_func, weight_initialization=weight_initialization,
+            normalization=normalization,
+            intelligent_noise=intelligent_noise,
+            num_modalities_to_drop=num_modalities_to_drop,
+            fill_missing_with=fill_missing_with, mask_with=mask_with,
+            num_labels=num_labels,
+            classification_layer_sizes=(
+                None if classification_layer_sizes is None
+                else tuple(classification_layer_sizes)),
+            compute_dtype=compute_dtype).validate()
+        self.tcfg = TrainConfig(
+            learning_rate=learning_rate, batch_size=batch_size,
+            decay=decay, decay_steps=decay_steps, decay_rate=decay_rate,
+            clip_gradients=clip_gradients, seed=seed)
+        # phase-2 defaults (:215-220)
+        self.classification_tcfg = ClassifierTrainConfig(seed=seed)
 
         self.spec = NoiseSpec.build(self.cfg,
                                     self.data_loader.modality_table)
@@ -140,6 +157,12 @@ class MultimodalAutoencoder:
             if self.classification_data_loader is not None else None)
         self.state = trainer.init_state(jax.random.PRNGKey(seed),
                                         self.cfg, self.tcfg)
+        # phase-2 optimizer slots live separately, like the reference's
+        # second minimize() owning its own slot variables (:443) — a
+        # phase-1 train() after train_classification must not consume
+        # the classification objective's Adam moments
+        self._cls_state = None
+        self._noise_rng = jax.random.PRNGKey(seed + 1)
         self.train_loss: list = []
         self.val_loss: list = []
         self.train_acc: list = []
@@ -162,6 +185,7 @@ class MultimodalAutoencoder:
         """Fresh parameters + optimizer state (:243-254)."""
         self.state = trainer.init_state(jax.random.PRNGKey(self.seed),
                                         self.cfg, self.tcfg)
+        self._cls_state = None
         self.train_loss, self.val_loss = [], []
 
     def set_classification_params(self, weight_penalty=None,
@@ -219,7 +243,7 @@ class MultimodalAutoencoder:
                 self.save_model()
         if save_every_nth is not None and save_every_nth <= num_steps:
             self.save_model()
-        if self.verbose:
+        if self.verbose and self.val_loss:
             print(f"trained {num_steps} steps; final val loss "
                   f"{self.val_loss[-1]:.4f}")
 
@@ -232,16 +256,24 @@ class MultimodalAutoencoder:
         record = record_every_nth or self.record_every_nth
         tcfg = self.classification_tcfg.replace(num_steps=num_steps,
                                                 record_every_nth=record)
-        state = trainer.TrainState(
-            params=self.state.params,
-            opt_state=trainer.optim.opt_init(tcfg.optimizer,
-                                             self.state.params),
-            step=jnp.zeros((), jnp.int32), rng=self.state.rng)
+        if self._cls_state is None:
+            state = trainer.TrainState(
+                params=self.state.params,
+                opt_state=trainer.optim.opt_init(tcfg.optimizer,
+                                                 self.state.params),
+                step=jnp.zeros((), jnp.int32), rng=self.state.rng)
+        else:
+            # resumed phase 2: its own slots/step persist like the
+            # reference's per-optimizer slot variables (:443)
+            state = self._cls_state._replace(params=self.state.params)
         state, curves = trainer.train_classification_jit(
             state, self.cfg, tcfg, self.spec,
             self._cls_arrays["train_x"], self._cls_arrays["train_y"],
             self._cls_arrays["val_x"], self._cls_arrays["val_y"])
-        self.state = state
+        self._cls_state = state
+        # phase 1 keeps its own optimizer slots/step/rng; only the
+        # parameters advance
+        self.state = self.state._replace(params=state.params)
         self.classification_train_loss += list(np.asarray(curves.train_loss))
         self.classification_val_loss += list(np.asarray(curves.val_loss))
         self.train_acc += list(np.asarray(curves.train_acc))
@@ -254,7 +286,7 @@ class MultimodalAutoencoder:
         """Structured corruption of a batch (:668-702).  ``missing_modes``
         forces a fixed modality set like the reference argument."""
         if rng is None:
-            rng = jax.random.PRNGKey(np.random.randint(2 ** 31))
+            rng = self._next_rng()
         forced = None
         if missing_modes:
             table = self.data_loader.modality_table
@@ -266,11 +298,18 @@ class MultimodalAutoencoder:
 
     # -- evaluation --------------------------------------------------------
 
+    def _next_rng(self) -> jax.Array:
+        """Fresh key per evaluation call — the reference draws fresh
+        np.random noise every call (:1070-1074), so repeated noisy
+        evaluations must see different corruption."""
+        self._noise_rng, k = jax.random.split(self._noise_rng)
+        return k
+
     def predict(self, X):
         """(reconstruction, report-scaled loss) without noise (:932-950)."""
-        recon, loss = trainer.predict(self.params, self.cfg,
-                                      jnp.asarray(np.asarray(X),
-                                                  jnp.float32))
+        recon, loss = trainer.predict_jit(self.params, self.cfg,
+                                          jnp.asarray(np.asarray(X),
+                                                      jnp.float32))
         return np.asarray(recon), float(loss)
 
     def get_performance_on_data(self, X) -> float:
@@ -280,8 +319,8 @@ class MultimodalAutoencoder:
     def get_performance_on_data_with_noise(
             self, X, rng: Optional[jax.Array] = None) -> float:
         if rng is None:
-            rng = jax.random.PRNGKey(np.random.randint(2 ** 31))
-        return float(trainer.evaluate_reconstruction(
+            rng = self._next_rng()
+        return float(trainer.evaluate_reconstruction_jit(
             self.params, self.cfg, self.spec,
             jnp.asarray(np.asarray(X), jnp.float32), rng, add_noise=True))
 
@@ -300,8 +339,11 @@ class MultimodalAutoencoder:
         if self.extra_noisy_data_loader is None:
             if self.extra_data_filename is None:
                 raise ValueError("no extra_data_filename provided")
+            # supervised=True: the reference builds this loader with the
+            # DataLoader default (:1093-1098, data_funcs.py:30), which
+            # drops rows lacking a label before scoring
             self.extra_noisy_data_loader = DataLoader(
-                self.extra_data_filename, supervised=False,
+                self.extra_data_filename, supervised=True,
                 normalize_and_fill=False,
                 subdivide_physiology_features=self.data_loader.subdivide_phys,
                 normalization=self.cfg.normalization,
@@ -311,23 +353,17 @@ class MultimodalAutoencoder:
             self.extra_noisy_data_loader.train_X)
 
     def get_embedding(self, X, add_noise: bool = False) -> np.ndarray:
-        return np.asarray(trainer.get_embedding(
+        return np.asarray(trainer.get_embedding_jit(
             self.params, self.cfg,
             jnp.asarray(np.asarray(X), jnp.float32),
-            rng=jax.random.PRNGKey(self.seed + 1), add_noise=add_noise,
+            rng=self._next_rng(), add_noise=add_noise,
             spec=self.spec))
 
     def get_classification_predictions(self, X) -> np.ndarray:
-        from multimodalautoencoder_tpu.models import losses, mmae
-
-        x = jnp.asarray(np.asarray(X), jnp.float32)
-        out = mmae.forward(self.params, self.cfg, x,
-                           rng=jax.random.PRNGKey(self.seed + 2),
-                           keep_prob=1.0, train=False)
-        logits = mmae.classify(self.params, self.cfg, out.embedding,
-                               keep_prob=1.0, train=False)
-        return np.asarray(losses.classification_predictions(
-            self.cfg.classification_loss, logits))
+        return np.asarray(trainer.classification_predictions_jit(
+            self.params, self.cfg,
+            jnp.asarray(np.asarray(X), jnp.float32),
+            jax.random.PRNGKey(self.seed + 2)))
 
     def get_classification_predictions_from_df(self):
         """Predictions appended to the classification frame (:1047-1060)."""
@@ -335,13 +371,18 @@ class MultimodalAutoencoder:
         df = dl.df.copy()
         X = df[dl.wanted_feats].to_numpy(dtype=float)
         preds = self.get_classification_predictions(X)
+        if preds.ndim == 1:
+            # softmax single-label mode: argmax predictions are 1-D
+            # (the reference would crash here, :1056-1060 — fixed)
+            preds = preds[:, None]
         for i, label in enumerate(dl.wanted_labels):
-            df["predictions_" + label] = preds[:, i]
+            df["predictions_" + label] = preds[:, min(i,
+                                                      preds.shape[1] - 1)]
         return df
 
     def get_reconstruction_loss_per_modality(self, X) -> list:
         masks = jnp.asarray(self.data_loader.modality_table.feature_masks())
-        rms = trainer.reconstruction_loss_per_modality(
+        rms = trainer.reconstruction_loss_per_modality_jit(
             self.params, self.cfg, masks,
             jnp.asarray(np.asarray(X), jnp.float32))
         return list(np.asarray(rms))
@@ -370,7 +411,17 @@ class MultimodalAutoencoder:
         params, cfg, curves, _ = ckpt_lib.load_checkpoint_auto(
             path, self.cfg, verbose=self.verbose)
         self.cfg = cfg
-        self.state = self.state._replace(params=params)
+        # rebuild optimizer state for the LOADED parameters: the old
+        # slots belong to the discarded init (and may not even match
+        # shapes if the saved hyperparameters differ).  Divergence from
+        # the reference, which restores TF slot variables too
+        # (:855-859) — moments are not in the npz checkpoint, so a
+        # resumed run warms Adam up fresh (distributional-parity band).
+        self.state = trainer.TrainState(
+            params=params,
+            opt_state=trainer.optim.opt_init(self.tcfg.optimizer, params),
+            step=jnp.zeros((), jnp.int32), rng=self.state.rng)
+        self._cls_state = None
         self.train_loss = list(curves.get("train_loss", []))
         self.val_loss = list(curves.get("val_loss", []))
 

@@ -76,7 +76,18 @@ class DataLoader:
             if not had_folds and persist_cv_folds:
                 # persist fold assignment back to the CSV for stability
                 # across runs (data_funcs.py:222)
-                self.df.to_csv(filename)
+                if engine == "native":
+                    # the native parser is lossy on unknown text columns
+                    # (fast_csv.py keeps only 'dataset'/'logistics_noisy'
+                    # as text) — writing its frame back would corrupt the
+                    # user's file, so persist ONLY the new fold column
+                    # through a pandas round-trip
+                    raw = pd.read_csv(filename, index_col=0)
+                    raw["logistics_cv_fold"] = np.asarray(
+                        self.df["logistics_cv_fold"])
+                    raw.to_csv(filename)
+                else:
+                    self.df.to_csv(filename)
             self.fold = 0
         self.wanted_feats = pp.get_wanted_feats_from_df(self.df)
 

@@ -30,10 +30,16 @@ def _mask(valid: Optional[Array], n: int) -> Array:
 
 def binary_accuracy(preds: Array, true_y: Array,
                     valid: Optional[Array] = None) -> Array:
-    """Fraction of exact matches (generic_wrapper.py:579-589)."""
+    """Fraction of exact matches (generic_wrapper.py:579-589).  NaN on an
+    empty valid slice: the reference's 0/0 raises ZeroDivisionError which
+    compute_classification_metric converts to NaN (:563-577), so nanmean
+    across folds skips the fold instead of averaging in a spurious 0."""
     m = _mask(valid, preds.shape[0])
+    n = jnp.sum(m)
     hit = (preds.astype(jnp.float32) == true_y.astype(jnp.float32))
-    return jnp.sum(hit.astype(jnp.float32) * m) / jnp.maximum(jnp.sum(m), 1)
+    return jnp.where(n > 0,
+                     jnp.sum(hit.astype(jnp.float32) * m)
+                     / jnp.maximum(n, 1), jnp.nan)
 
 
 def roc_auc(scores: Array, true_y: Array,
@@ -65,30 +71,39 @@ def roc_auc(scores: Array, true_y: Array,
 
 def precision(preds: Array, true_y: Array,
               valid: Optional[Array] = None) -> Array:
+    """sklearn precision_score parity (generic_wrapper.py:591-604): 0.0
+    (with a host-side warning there) when no positive predictions; NaN
+    on an empty valid slice (sklearn-error -> NaN, :563-577)."""
     m = _mask(valid, preds.shape[0])
     p = (preds > 0.5).astype(jnp.float32) * m
     y = (true_y > 0.5).astype(jnp.float32)
     tp = jnp.sum(p * y)
     pp = jnp.sum(p)
-    # sklearn returns 0.0 (with a warning) when no positive predictions
-    return jnp.where(pp > 0, tp / jnp.maximum(pp, 1), 0.0)
+    val = jnp.where(pp > 0, tp / jnp.maximum(pp, 1), 0.0)
+    return jnp.where(jnp.sum(m) > 0, val, jnp.nan)
 
 
 def recall(preds: Array, true_y: Array,
            valid: Optional[Array] = None) -> Array:
+    """sklearn recall_score parity (generic_wrapper.py:591-604): 0.0
+    when no positive labels; NaN on an empty valid slice (:563-577)."""
     m = _mask(valid, preds.shape[0])
     p = (preds > 0.5).astype(jnp.float32)
     y = (true_y > 0.5).astype(jnp.float32) * m
     tp = jnp.sum(p * y)
     ap = jnp.sum(y)
-    return jnp.where(ap > 0, tp / jnp.maximum(ap, 1), 0.0)
+    val = jnp.where(ap > 0, tp / jnp.maximum(ap, 1), 0.0)
+    return jnp.where(jnp.sum(m) > 0, val, jnp.nan)
 
 
 def f1(preds: Array, true_y: Array, valid: Optional[Array] = None) -> Array:
+    """sklearn f1_score parity (generic_wrapper.py:591-604); NaN
+    propagates from precision/recall on an empty valid slice."""
     pr = precision(preds, true_y, valid)
     rc = recall(preds, true_y, valid)
-    return jnp.where(pr + rc > 0, 2 * pr * rc / jnp.maximum(pr + rc, 1e-20),
-                     0.0)
+    val = jnp.where(pr + rc > 0,
+                    2 * pr * rc / jnp.maximum(pr + rc, 1e-20), 0.0)
+    return jnp.where(jnp.isnan(pr) | jnp.isnan(rc), jnp.nan, val)
 
 
 def all_classification_metrics(preds: Array, true_y: Array,
@@ -105,8 +120,9 @@ def all_classification_metrics(preds: Array, true_y: Array,
 
 
 def majority_baseline(y: Array, valid: Optional[Array] = None) -> Array:
-    """Most-frequent-class rate (generic_wrapper.py:549-561)."""
+    """Most-frequent-class rate (generic_wrapper.py:549-561); NaN on an
+    empty valid slice (not a spurious 1.0)."""
     m = _mask(valid, y.shape[0])
-    frac = jnp.sum((y > 0.5).astype(jnp.float32) * m) / jnp.maximum(
-        jnp.sum(m), 1)
-    return jnp.maximum(frac, 1.0 - frac)
+    n = jnp.sum(m)
+    frac = jnp.sum((y > 0.5).astype(jnp.float32) * m) / jnp.maximum(n, 1)
+    return jnp.where(n > 0, jnp.maximum(frac, 1.0 - frac), jnp.nan)

@@ -69,8 +69,11 @@ class ResultsLedger:
 
     def already_done(self, setting: Dict[str, Any]) -> bool:
         """True iff every (key, value) of ``setting`` matches some existing
-        row (list values compared by str, as in the CSV round-trip,
-        generic_wrapper.py:213-217)."""
+        row.  Lists compare by str (the CSV round-trip form,
+        generic_wrapper.py:213-217); numbers compare NUMERICALLY like the
+        reference's native ``==`` (:211) — a weight_penalty of int 0 must
+        match the float-promoted column's '0.0' after a resume, or the
+        sweep silently re-runs (and double-appends) every such setting."""
         mini = self.df
         if len(mini) == 0:
             return False
@@ -78,8 +81,12 @@ class ResultsLedger:
             if key not in mini.columns:
                 return False
             if isinstance(val, (list, tuple)):
-                val = str(list(val))
-            mini = mini[mini[key].astype(str) == str(val)]
+                mini = mini[mini[key].astype(str) == str(list(val))]
+            elif isinstance(val, (int, float)) and not isinstance(val, bool):
+                col = pd.to_numeric(mini[key], errors="coerce")
+                mini = mini[col == float(val)]
+            else:
+                mini = mini[mini[key].astype(str) == str(val)]
             if len(mini) == 0:
                 return False
         return True
@@ -98,8 +105,12 @@ class ResultsLedger:
     def find_best_setting(self, optimize_for: str,
                           min_or_max: str = "max") -> pd.Series:
         """Row with the best value of ``optimize_for``
-        (generic_wrapper.py:317-347)."""
-        scores = self.df[optimize_for]
+        (generic_wrapper.py:317-347).  An all-NaN column (e.g. AUC when
+        every fold's val set is single-class) degrades to the first row
+        instead of crashing a completed sweep at selection time."""
+        scores = pd.to_numeric(self.df[optimize_for], errors="coerce")
+        if scores.notna().sum() == 0:
+            return self.df.iloc[0]
         idx = scores.idxmin() if min_or_max == "min" else scores.idxmax()
         return self.df.loc[idx]
 

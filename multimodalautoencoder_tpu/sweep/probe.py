@@ -33,7 +33,7 @@ device.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,7 +180,8 @@ def probe_grid(rng, params_stacked, act_ids, folded, *, cfg: MMAEConfig,
     vnoisy = (folded.val_noisy if folded.val_noisy is not None
               else jnp.zeros(folded.val_x.shape[:2], bool))
 
-    keys = jax.random.split(rng, C * K).reshape(C, K, 2)
+    # (C, K) + key shape: robust to non-threefry PRNG representations
+    keys = jax.random.split(rng, C * K).reshape((C, K) + rng.shape)
 
     def per_fold(p, act_id, tx, tn, tyf, vx, vn, vyf, vns, k):
         return _probe_instance(p, act_id, tx, tn, tyf, vx, vn, vyf, vns,

@@ -41,7 +41,7 @@ def convert_file_to_embeddings(params, cfg: MMAEConfig, path: str,
     embed_df = df[other_feats].copy()
 
     X = jnp.asarray(df[wanted_feats].astype(float).to_numpy(), jnp.float32)
-    embedding = np.asarray(trainer.get_embedding(params, cfg, X, rng=rng))
+    embedding = np.asarray(trainer.get_embedding_jit(params, cfg, X, rng=rng))
 
     for c in range(embedding.shape[1]):
         embed_df[f"ae_embedding_dim{c}"] = embedding[:, c]
@@ -60,7 +60,7 @@ def fill_missing_data_in_file(params, cfg: MMAEConfig, data_loader,
     wanted-feature list matching the trained model."""
     df = pd.read_csv(path, index_col=0)
     X = df[data_loader.wanted_feats].astype(float).to_numpy()
-    recon, _ = trainer.predict(params, cfg, jnp.asarray(X, jnp.float32))
+    recon, _ = trainer.predict_jit(params, cfg, jnp.asarray(X, jnp.float32))
     df = data_loader.fill_df_with_reconstruction(df, np.asarray(recon))
     if out_path is None:
         d, base = os.path.split(path)
@@ -74,7 +74,7 @@ def reconstruction_report(params, cfg: MMAEConfig, data_loader, X,
     """Per-modality masked-reconstruction RMSE (:1189-1216):
     {modality_name: rmse}."""
     masks = jnp.asarray(data_loader.modality_table.feature_masks())
-    rms = np.asarray(trainer.reconstruction_loss_per_modality(
+    rms = np.asarray(trainer.reconstruction_loss_per_modality_jit(
         params, cfg, masks, jnp.asarray(np.asarray(X), jnp.float32)))
     out = dict(zip(data_loader.modality_names, rms.tolist()))
     if verbose:

@@ -339,3 +339,30 @@ def reconstruction_loss_per_modality(params: mmae.MMAEParams,
                         / (jnp.sum(mask) * x.shape[0]))
 
     return jax.vmap(one)(modality_masks)
+
+
+def classification_predictions(params: mmae.MMAEParams, cfg: MMAEConfig,
+                               x: Array, rng: Optional[Array] = None
+                               ) -> Array:
+    """Class predictions on X (multimodal_autoencoder.py:1035-1045):
+    per-label sigmoid rounding, or argmax for softmax."""
+    cfg = cfg.validate()
+    out = mmae.forward(params, cfg, x, rng=rng, keep_prob=1.0, train=False)
+    logits = mmae.classify(params, cfg, out.embedding, keep_prob=1.0,
+                           train=False)
+    return losses_lib.classification_predictions(cfg.classification_loss,
+                                                 logits)
+
+
+# Jitted entry points for the evaluation surface: on the tunnel-attached
+# TPU each un-jitted op dispatch costs ~1 s, so every facade evaluation
+# call must be ONE compiled program (CLAUDE.md).  cfg is hashable-static.
+predict_jit = jax.jit(predict, static_argnames=("cfg",))
+evaluate_reconstruction_jit = jax.jit(evaluate_reconstruction,
+                                      static_argnames=("cfg", "add_noise"))
+get_embedding_jit = jax.jit(get_embedding,
+                            static_argnames=("cfg", "add_noise"))
+reconstruction_loss_per_modality_jit = jax.jit(
+    reconstruction_loss_per_modality, static_argnames=("cfg",))
+classification_predictions_jit = jax.jit(classification_predictions,
+                                         static_argnames=("cfg",))

@@ -20,6 +20,16 @@ def get_secs_mins_hours_from_secs(total_secs: float
     return hours, mins, secs
 
 
+def get_rmse(x, y) -> float:
+    """Root mean squared error between two arrays
+    (multimodal_autoencoder.py:1218-1220)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    return float(np.sqrt(np.mean((x - y) ** 2)))
+
+
 def get_friendly_label_name(label_col: str) -> str:
     """Long label column -> short name via substring match
     (helper_funcs.py:17-31); falls back to the column name itself."""

@@ -61,10 +61,37 @@ const double kPow10[23] = {
     1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21,
     1e22};
 
+// Slow path: strtod on a NUL-terminated copy.  `b` points into a
+// borrowed mmap with no terminator — calling strtod on it directly
+// could scan past the field (mis-parsing across a comma) and, when the
+// file ends on a page boundary with no trailing newline, read past the
+// mapping.  Full consumption is required so garbage-suffixed numerics
+// like "12x" stay NaN (pandas: a non-numeric cell makes the column
+// object-typed, and this loader's contract maps text cells to NaN).
+inline double parse_slow(const char* b, const char* e, bool* ok) {
+  const size_t len = static_cast<size_t>(e - b);
+  char sbuf[64];
+  std::string heap;
+  const char* cs;
+  if (len < sizeof(sbuf)) {
+    memcpy(sbuf, b, len);
+    sbuf[len] = '\0';
+    cs = sbuf;
+  } else {
+    heap.assign(b, e);
+    cs = heap.c_str();
+  }
+  char* pe = nullptr;
+  double v = strtod(cs, &pe);
+  *ok = (len > 0 && pe == cs + len);
+  return *ok ? v : NAN;
+}
+
 // Hand-rolled decimal float parser: ~5x faster than locale-aware strtod
 // for the fixed "[-]ddd.ddd[e[-]dd]" format CSV numbers use.  Falls back
 // to strtod for very long mantissas where the u64 accumulator would
-// overflow (keeps bit-exact parity with pandas' parser).
+// overflow (keeps bit-exact parity with pandas' parser) and for
+// non-decimal spellings ("inf", "nan") strtod understands.
 inline double parse_number(const char* b, const char* e, bool* ok) {
   const char* p = b;
   bool neg = false;
@@ -82,7 +109,6 @@ inline double parse_number(const char* b, const char* e, bool* ok) {
       ++digits; ++frac_digits; ++p;
     }
   }
-  if (digits == 0) { *ok = false; return NAN; }
   int exp10 = 0;
   if (p < e && (*p == 'e' || *p == 'E')) {
     ++p;
@@ -98,11 +124,9 @@ inline double parse_number(const char* b, const char* e, bool* ok) {
   // bit.  Beyond that (long mantissas, |net exp| > 22) pow() would
   // double-round — fall back to strtod.
   int net_exp = exp10 - frac_digits;
-  if (p != e || digits > 15 || net_exp > 22 || net_exp < -22) {
-    char* pe = nullptr;
-    double v = strtod(b, &pe);
-    *ok = (pe != b);
-    return v;
+  if (digits == 0 || p != e || digits > 15 ||
+      net_exp > 22 || net_exp < -22) {
+    return parse_slow(b, e, ok);
   }
   double v = static_cast<double>(mant);
   if (net_exp > 0) {

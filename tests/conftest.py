@@ -26,8 +26,37 @@ jax.config.update("jax_platforms", "cpu")
 assert len(jax.devices()) == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Every compiled XLA:CPU executable holds multiple memory mappings (JIT
+# code + guard pages), and this suite compiles thousands of programs
+# across 200+ tests.  Unchecked, the process crosses the kernel's
+# vm.max_map_count ceiling (65530 by default) around test ~210, at which
+# point mmap fails inside XLA and the process dies with a SIGSEGV/SIGABRT
+# in whatever native call next maps memory (observed: the compilation-
+# cache deserialize path and the pjit dispatch fast path).  Dropping the
+# global jit caches releases the mappings; a fresh compile after a clear
+# costs a few seconds once or twice per run.
+_MAP_GUARD_THRESHOLD = 35_000
+
+
+def _num_memory_maps() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no /proc, and no map-count ceiling
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _vm_map_guard():
+    yield
+    if _num_memory_maps() > _MAP_GUARD_THRESHOLD:
+        jax.clear_caches()
+        gc.collect()
 
 
 @pytest.fixture

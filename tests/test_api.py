@@ -130,3 +130,107 @@ def test_two_phase_classification(csv_path, tmp_path):
     assert preds.shape == (len(sup.val_X), 2)
     df = m.get_classification_predictions_from_df()
     assert "predictions_happy_label" in df.columns
+
+
+def test_num_labels_from_classification_loader(tmp_path):
+    """Head width follows the classification loader's label count, like
+    the reference (multimodal_autoencoder.py:323-327) — 3 label columns
+    must build a 3-logit head, not the default 2."""
+    path = synthetic.write_csv(
+        str(tmp_path / "three.csv"), num_rows=120, seed=3,
+        label_names=("happy_label", "health_label", "calm_label"))
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    sup = DataLoader(path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=path, layer_sizes=[12, 6],
+        classification_layer_sizes=[8], variational=False,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    assert m.cfg.num_labels == 3
+    m.train_classification(num_steps=20, record_every_nth=10)
+    preds = m.get_classification_predictions(sup.val_X)
+    assert preds.shape == (len(sup.val_X), 3)
+
+
+def test_z_score_override_reaches_loader(tmp_path):
+    """The VAE/z-score+entropy overrides apply BEFORE the loader is
+    built (reference order, :174-194): the loaded data must be 0-1
+    normalized, not z-scored."""
+    path = synthetic.write_csv(str(tmp_path / "z.csv"), num_rows=80,
+                               seed=1)
+    m = MultimodalAutoencoder(
+        filename=path, layer_sizes=[8, 4], variational=True,
+        normalization="z_score", verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    assert m.cfg.normalization == "between_0_and_1"
+    X = np.asarray(m.data_loader.train_X)
+    finite = X[np.isfinite(X) & (X != -1.0)]
+    assert finite.min() >= 0.0 and finite.max() <= 1.0
+
+
+def test_phase_interleaving_keeps_separate_opt_slots(csv_path):
+    """train() after train_classification() must not consume phase-2
+    Adam moments (the reference's two minimize() calls own separate slot
+    variables, :443), and a resumed train_classification keeps its own
+    step counter."""
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    sup = DataLoader(csv_path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=csv_path, layer_sizes=[12, 6],
+        classification_layer_sizes=[8], variational=False,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    m.train(num_steps=50, record_every_nth=50)
+    p1_step = int(m.state.step)
+    m.train_classification(num_steps=30, record_every_nth=30)
+    assert int(m.state.step) == p1_step          # phase-1 state untouched
+    assert int(m._cls_state.step) == 30
+    m.train(num_steps=20, record_every_nth=20)   # interleave: no crash
+    m.train_classification(num_steps=10, record_every_nth=10)
+    assert int(m._cls_state.step) == 40          # phase-2 slots resumed
+
+
+def test_load_saved_model_rebuilds_opt_state(model, tmp_path):
+    """load_saved_model must leave a trainable state: optimizer slots
+    are rebuilt for the loaded params (shapes can differ from the ctor
+    init when the checkpoint's hyperparameters win)."""
+    m2 = MultimodalAutoencoder(
+        data_loader=model.data_loader, layer_sizes=[24, 8],
+        variational=False, tie_weights=True, verbose=False,
+        checkpoint_dir=model.checkpoint_dir)
+    model.save_model()
+    m2.load_saved_model()
+    m2.train(num_steps=20, record_every_nth=20)  # must not crash
+    assert int(m2.state.step) == 20
+
+
+def test_get_embedding_fresh_noise(model):
+    """Repeated noisy embeddings draw fresh corruption (the reference
+    uses fresh np.random noise per call, :1070-1074)."""
+    X = model.data_loader.val_X[:16]
+    e1 = model.get_embedding(X, add_noise=True)
+    e2 = model.get_embedding(X, add_noise=True)
+    assert not np.array_equal(e1, e2)
+    # noiseless embeddings stay deterministic
+    d1 = model.get_embedding(X)
+    d2 = model.get_embedding(X)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_native_fold_persist_preserves_text_columns(tmp_path):
+    """persist_cv_folds with engine='native' must not corrupt columns
+    the native parser reads lossily — only the fold column may change."""
+    import pandas as pd
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    path = synthetic.write_csv(str(tmp_path / "n.csv"), num_rows=60,
+                               seed=2)
+    before = pd.read_csv(path, index_col=0)
+    assert "logistics_cv_fold" not in before.columns
+    DataLoader(path, supervised=False, cross_validation=True,
+               suppress_output=True, engine="native")
+    after = pd.read_csv(path, index_col=0)
+    assert "logistics_cv_fold" in after.columns
+    shared = [c for c in before.columns]
+    pd.testing.assert_frame_equal(before[shared], after[shared])

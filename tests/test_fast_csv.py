@@ -86,3 +86,25 @@ def test_quoted_commas_and_extreme_exponents(tmp_path):
     assert list(df["dataset"]) == ["Tr,ain", "Val"]
     assert df.loc[0, "b_y"] == df_p.loc[0, "b_y"] == 7.3e-25
     assert df.loc[1, "b_y"] == df_p.loc[1, "b_y"] == 1.2345e30
+
+
+def test_slow_path_is_bounded_and_strict(tmp_path):
+    """The strtod fallback must (a) reject garbage-suffixed numerics the
+    way pandas does (non-numeric cell -> NaN under this loader's text
+    contract), (b) parse 'inf' like pandas, and (c) stay inside the
+    field even when the file has NO trailing newline (strtod runs on a
+    NUL-terminated copy, never the raw mmap)."""
+    p = str(tmp_path / "s.csv")
+    with open(p, "w") as f:
+        f.write(",a_x,b_y\n")
+        f.write("0,12x,3.5\n")
+        f.write("1,inf,-inf\n")
+        # last row: long-mantissa slow-path value at EOF, no newline
+        f.write("2,7.3e-25,0.12345678901234567891")
+    df = fast_csv.read_dataframe(p)
+    assert np.isnan(df.loc[0, "a_x"])          # "12x" is text, not 12
+    assert df.loc[0, "b_y"] == 3.5
+    assert df.loc[1, "a_x"] == float("inf")
+    assert df.loc[1, "b_y"] == float("-inf")
+    assert df.loc[2, "a_x"] == 7.3e-25
+    assert df.loc[2, "b_y"] == float("0.12345678901234567891")

@@ -196,3 +196,20 @@ def test_opt_unknown_name():
     from multimodalautoencoder_tpu.ops import optim
     with pytest.raises(ValueError):
         optim.opt_init("rmsprop", {"w": jnp.zeros(2)})
+
+
+def test_metrics_nan_on_empty_slice():
+    """Empty valid slice -> NaN on every metric (the reference's 0/0
+    ZeroDivisionError degrades to NaN, generic_wrapper.py:563-589), so
+    nanmean across folds SKIPS the fold instead of averaging in 0."""
+    import jax.numpy as jnp
+    from multimodalautoencoder_tpu.ops import metrics as M
+
+    p = jnp.asarray([1.0, 0.0, 1.0])
+    y = jnp.asarray([1.0, 1.0, 0.0])
+    empty = jnp.zeros((3,), bool)
+    for fn in (M.binary_accuracy, M.roc_auc, M.f1, M.precision, M.recall):
+        assert np.isnan(float(fn(p, y, empty))), fn.__name__
+    assert np.isnan(float(M.majority_baseline(y, empty)))
+    # non-empty slices are unaffected
+    assert float(M.binary_accuracy(p, y)) == pytest.approx(1 / 3)

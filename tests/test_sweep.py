@@ -411,3 +411,28 @@ def test_share_active_gate_forced_pallas_multidevice(loaders, tmp_path):
             backend=backend, **kwargs)
         assert sweep.mesh.shape[mesh.CONFIG_AXIS] > 1    # default mesh
         assert sweep._share_active() is share, backend
+
+
+def test_already_done_numeric_after_csv_roundtrip(tmp_path):
+    """int-valued settings must resume-match their float-promoted CSV
+    column (the reference compares natively: int 0 == 0.0,
+    generic_wrapper.py:205-221) — string comparison would re-run and
+    double-append every such setting."""
+    led = engine.ResultsLedger(str(tmp_path), "n", save_every_nth=1)
+    led.append({"weight_penalty": 0, "dropout_prob": 0.5, "val": 1.0})
+    led.append({"weight_penalty": 0.01, "dropout_prob": 1, "val": 2.0})
+    led.flush()
+    led2 = engine.ResultsLedger(str(tmp_path), "n", cont=True)
+    assert led2.already_done({"weight_penalty": 0, "dropout_prob": 0.5})
+    assert led2.already_done({"weight_penalty": 0.0, "dropout_prob": 0.5})
+    assert led2.already_done({"weight_penalty": 0.01, "dropout_prob": 1})
+    assert not led2.already_done({"weight_penalty": 0.02,
+                                  "dropout_prob": 0.5})
+
+
+def test_find_best_setting_all_nan_degrades(tmp_path):
+    led = engine.ResultsLedger(str(tmp_path), "nan", save_every_nth=1)
+    led.append({"C": 1, "val_auc": float("nan")})
+    led.append({"C": 2, "val_auc": float("nan")})
+    row = led.find_best_setting("val_auc")
+    assert int(row["C"]) == 1                    # degrade, don't crash

@@ -157,3 +157,23 @@ def test_job_runner_fast_warning(tmp_path):
     results = jobs.run_jobs(str(job_file), notify=lambda s, t: None,
                             minimum_seconds=600)
     assert results[0].status == jobs.WARNING
+
+
+def test_helpers_surface():
+    """helper_funcs.py parity: time split (:1-15), friendly names
+    (:17-31), and the module-level get_rmse (multimodal_autoencoder.py
+    :1218-1220, sqrt of sklearn mean_squared_error)."""
+    import numpy as np
+    from sklearn.metrics import mean_squared_error
+
+    from multimodalautoencoder_tpu.utils import helpers
+
+    assert helpers.get_secs_mins_hours_from_secs(3723.9) == (1, 2, 3)
+    assert helpers.get_friendly_label_name("tomorrow_Happy_label") == \
+        "happiness"
+    assert helpers.get_friendly_label_name("odd_label") == "odd"
+
+    rng = np.random.default_rng(0)
+    x, y = rng.random((7, 3)), rng.random((7, 3))
+    assert helpers.get_rmse(x, y) == pytest.approx(
+        float(np.sqrt(mean_squared_error(x, y))))
