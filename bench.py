@@ -93,9 +93,11 @@ def backend_down_record(metric: str) -> dict:
         "unit": ("NO MEASUREMENT: TPU backend unreachable (tunnel "
                  "worker down; every jax device bring-up probe timed "
                  "out across the full wait budget).  Environment "
-                 "outage, not a property of this software — see the "
-                 "previous round's artifact for the last healthy "
-                 "measurement."),
+                 "outage, not a property of this software — last "
+                 "healthy measurements: 2716 configs/hour end-to-end "
+                 "MMAESweep.run() (2026-08-17, README 'Benchmarks') "
+                 "and 2407 configs/hour for the full 576-setting "
+                 "classification job (BENCH_classification_r03.json)."),
         "vs_baseline": 0.0,
         "degraded": True,
         "backend_unreachable": True,
