@@ -169,7 +169,8 @@ class MultimodalAutoencoder:
         self.val_acc: list = []
         self.classification_train_loss: list = []
         self.classification_val_loss: list = []
-        self.record_every_nth = 50   # (:166)
+        self.record_every_nth = 50        # (:166)
+        self.save_every_nth = 100_000     # (:167)
 
     # -- properties --------------------------------------------------------
 
@@ -214,6 +215,15 @@ class MultimodalAutoencoder:
             self.cfg = self.cfg.replace(**ckw).validate()
         self.rebuild_reinitialize()
 
+    def set_record_save(self, record_every_nth: Optional[int] = None,
+                        save_every_nth: Optional[int] = None) -> None:
+        """Persist the loss-recording / checkpoint cadence (:592-605);
+        None leaves the current value in place."""
+        if record_every_nth is not None:
+            self.record_every_nth = record_every_nth
+        if save_every_nth is not None:
+            self.save_every_nth = save_every_nth
+
     # -- training ----------------------------------------------------------
 
     def train(self, num_steps: int = 30000,
@@ -223,12 +233,16 @@ class MultimodalAutoencoder:
 
         ``save_every_nth`` checkpoints mid-run like the reference (:584-586):
         training proceeds in jitted chunks of that many steps with a
-        checkpoint written between chunks.
+        checkpoint written between chunks.  Both cadences persist across
+        calls via :meth:`set_record_save` (:563, :592-605).  Divergence:
+        when ``save_every_nth < record_every_nth`` each chunk records a
+        trailing point, so curves are denser than the reference's global
+        step-modulo cadence (irrelevant at the defaults, 100k vs 50).
         """
-        record = record_every_nth or self.record_every_nth
-        self.record_every_nth = record
-        chunk = num_steps if not save_every_nth or save_every_nth >= \
-            num_steps else save_every_nth
+        self.set_record_save(record_every_nth, save_every_nth)
+        record = self.record_every_nth
+        chunk = (num_steps if self.save_every_nth >= num_steps
+                 else self.save_every_nth)
         done = 0
         while done < num_steps:
             n = min(chunk, num_steps - done)
@@ -241,7 +255,7 @@ class MultimodalAutoencoder:
             done += n
             if done < num_steps:
                 self.save_model()
-        if save_every_nth is not None and save_every_nth <= num_steps:
+        if self.save_every_nth <= num_steps:
             self.save_model()
         if self.verbose and self.val_loss:
             print(f"trained {num_steps} steps; final val loss "
@@ -253,7 +267,8 @@ class MultimodalAutoencoder:
         """Phase-2 supervised training (:606-647)."""
         if self._cls_arrays is None:
             raise ValueError("no classification data loader configured")
-        record = record_every_nth or self.record_every_nth
+        self.set_record_save(record_every_nth, save_every_nth)
+        record = self.record_every_nth
         tcfg = self.classification_tcfg.replace(num_steps=num_steps,
                                                 record_every_nth=record)
         if self._cls_state is None:

@@ -221,18 +221,24 @@ class DataLoader:
         val_df = self.df[self.df["logistics_cv_fold"] == fold]
         return val_df["logistics_noisy"].to_numpy(dtype=bool)
 
+    def set_noisy_clean_data_for_fold(self, fold: int) -> None:
+        """Rebind ONLY the noisy/clean matrices to fold ``fold``
+        (data_funcs.py:263-277; the reference exposes this separately
+        from the train/val rebinding)."""
+        val_df = self.df[self.df["logistics_cv_fold"] == fold]
+        train_df = self.df[(self.df["logistics_cv_fold"] != fold)
+                           & (self.df["logistics_cv_fold"] != -1)]
+        (self.clean_train_X, self.clean_train_Y, self.noisy_train_X,
+         self.noisy_train_Y) = self._noisy_clean(None, train_df)
+        (self.clean_val_X, self.clean_val_Y, self.noisy_val_X,
+         self.noisy_val_Y) = self._noisy_clean(None, val_df)
+
     def set_to_cross_validation_fold(self, fold: int) -> None:
         self.fold = fold
         (self.train_X, self.train_Y,
          self.val_X, self.val_Y) = self.get_cross_val_data_for_fold(fold)
         if self.separate_noisy_data:
-            val_df = self.df[self.df["logistics_cv_fold"] == fold]
-            train_df = self.df[(self.df["logistics_cv_fold"] != fold)
-                               & (self.df["logistics_cv_fold"] != -1)]
-            (self.clean_train_X, self.clean_train_Y, self.noisy_train_X,
-             self.noisy_train_Y) = self._noisy_clean(None, train_df)
-            (self.clean_val_X, self.clean_val_Y, self.noisy_val_X,
-             self.noisy_val_Y) = self._noisy_clean(None, val_df)
+            self.set_noisy_clean_data_for_fold(fold)
 
     # -- reconstruction fill-back (data_funcs.py:310-381) ------------------
 

@@ -234,3 +234,22 @@ def test_native_fold_persist_preserves_text_columns(tmp_path):
     assert "logistics_cv_fold" in after.columns
     shared = [c for c in before.columns]
     pd.testing.assert_frame_equal(before[shared], after[shared])
+
+
+def test_set_record_save_persists(csv_path, tmp_path):
+    """set_record_save persists both cadences across train() calls
+    (multimodal_autoencoder.py:592-605; ctor defaults :166-167)."""
+    import os
+
+    m = MultimodalAutoencoder(
+        filename=csv_path, layer_sizes=[24, 8], variational=False,
+        tie_weights=True, verbose=False, normalize_and_fill=True,
+        fill_gaps_with=-1.0, checkpoint_dir=str(tmp_path))
+    assert m.record_every_nth == 50
+    assert m.save_every_nth == 100_000
+    m.set_record_save(25, 100)
+    m.train(num_steps=100)               # no args: persisted values apply
+    assert m.record_every_nth == 25
+    assert m.save_every_nth == 100
+    assert len(m.train_loss) == 4        # 100 steps / record-every-25
+    assert os.listdir(str(tmp_path))     # checkpoint written

@@ -206,3 +206,22 @@ def test_device_arrays(csv_path):
     assert arrays["train_x"].dtype == jnp.float32
     assert arrays["train_x"].shape == dl.train_X.shape
     assert "train_y" in arrays
+
+
+def test_set_noisy_clean_data_for_fold(csv_path):
+    """Rebinding only the noisy/clean matrices to a fold
+    (data_funcs.py:263-277) must match what the full fold rebind
+    produces."""
+    dl = DataLoader(csv_path, supervised=True, cross_validation=True,
+                    suppress_output=True, normalize_and_fill=True,
+                    fill_gaps_with=-1.0)
+    dl2 = DataLoader(csv_path, supervised=True, cross_validation=True,
+                     suppress_output=True, normalize_and_fill=True,
+                     fill_gaps_with=-1.0)
+    dl.set_to_cross_validation_fold(1)
+    old_train = dl2.train_X.copy()
+    dl2.set_noisy_clean_data_for_fold(1)
+    np.testing.assert_array_equal(dl.noisy_val_X, dl2.noisy_val_X)
+    np.testing.assert_array_equal(dl.clean_train_X, dl2.clean_train_X)
+    # train/val matrices themselves are untouched by the partial rebind
+    np.testing.assert_array_equal(dl2.train_X, old_train)
