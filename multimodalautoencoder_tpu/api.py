@@ -155,6 +155,16 @@ class MultimodalAutoencoder:
         self._cls_arrays = (
             self.classification_data_loader.device_arrays()
             if self.classification_data_loader is not None else None)
+        if self._cls_arrays is not None and \
+                self.cfg.classification_loss == "sigmoid_cross_entropy":
+            # single-label loaders yield 1-D Y (data_funcs.py:521-524);
+            # per-label sigmoid-CE needs (N, num_labels) or the loss
+            # would silently broadcast (B, 1) logits against (B,) labels
+            # into a (B, B) pairwise tensor
+            for k in ("train_y", "val_y", "test_y"):
+                y = self._cls_arrays.get(k)
+                if y is not None and y.ndim == 1:
+                    self._cls_arrays[k] = y[:, None]
         self.state = trainer.init_state(jax.random.PRNGKey(seed),
                                         self.cfg, self.tcfg)
         # phase-2 optimizer slots live separately, like the reference's
@@ -218,7 +228,13 @@ class MultimodalAutoencoder:
     def set_record_save(self, record_every_nth: Optional[int] = None,
                         save_every_nth: Optional[int] = None) -> None:
         """Persist the loss-recording / checkpoint cadence (:592-605);
-        None leaves the current value in place."""
+        None leaves the current value in place.  Non-positive values are
+        rejected loudly (the reference's ``step % 0`` crash; here a 0
+        chunk size would otherwise loop forever)."""
+        for name, v in (("record_every_nth", record_every_nth),
+                        ("save_every_nth", save_every_nth)):
+            if v is not None and v <= 0:
+                raise ValueError(f"{name} must be positive, got {v}")
         if record_every_nth is not None:
             self.record_every_nth = record_every_nth
         if save_every_nth is not None:
@@ -264,35 +280,47 @@ class MultimodalAutoencoder:
     def train_classification(self, num_steps: int = 30000,
                              record_every_nth: Optional[int] = None,
                              save_every_nth: Optional[int] = None) -> None:
-        """Phase-2 supervised training (:606-647)."""
+        """Phase-2 supervised training (:606-647); checkpoints every
+        ``save_every_nth`` steps mid-run like the reference (:641-643),
+        via the same chunking scheme as :meth:`train`."""
         if self._cls_arrays is None:
             raise ValueError("no classification data loader configured")
         self.set_record_save(record_every_nth, save_every_nth)
         record = self.record_every_nth
-        tcfg = self.classification_tcfg.replace(num_steps=num_steps,
-                                                record_every_nth=record)
         if self._cls_state is None:
-            state = trainer.TrainState(
-                params=self.state.params,
-                opt_state=trainer.optim.opt_init(tcfg.optimizer,
-                                                 self.state.params),
-                step=jnp.zeros((), jnp.int32), rng=self.state.rng)
+            state = trainer.state_for_params(self.state.params,
+                                             self.classification_tcfg,
+                                             self.state.rng)
         else:
             # resumed phase 2: its own slots/step persist like the
             # reference's per-optimizer slot variables (:443)
             state = self._cls_state._replace(params=self.state.params)
-        state, curves = trainer.train_classification_jit(
-            state, self.cfg, tcfg, self.spec,
-            self._cls_arrays["train_x"], self._cls_arrays["train_y"],
-            self._cls_arrays["val_x"], self._cls_arrays["val_y"])
-        self._cls_state = state
-        # phase 1 keeps its own optimizer slots/step/rng; only the
-        # parameters advance
-        self.state = self.state._replace(params=state.params)
-        self.classification_train_loss += list(np.asarray(curves.train_loss))
-        self.classification_val_loss += list(np.asarray(curves.val_loss))
-        self.train_acc += list(np.asarray(curves.train_acc))
-        self.val_acc += list(np.asarray(curves.val_acc))
+        chunk = (num_steps if self.save_every_nth >= num_steps
+                 else self.save_every_nth)
+        done = 0
+        while done < num_steps:
+            n = min(chunk, num_steps - done)
+            tcfg = self.classification_tcfg.replace(num_steps=n,
+                                                    record_every_nth=record)
+            state, curves = trainer.train_classification_jit(
+                state, self.cfg, tcfg, self.spec,
+                self._cls_arrays["train_x"], self._cls_arrays["train_y"],
+                self._cls_arrays["val_x"], self._cls_arrays["val_y"])
+            self._cls_state = state
+            # phase 1 keeps its own optimizer slots/step/rng; only the
+            # parameters advance
+            self.state = self.state._replace(params=state.params)
+            self.classification_train_loss += list(
+                np.asarray(curves.train_loss))
+            self.classification_val_loss += list(
+                np.asarray(curves.val_loss))
+            self.train_acc += list(np.asarray(curves.train_acc))
+            self.val_acc += list(np.asarray(curves.val_acc))
+            done += n
+            if done < num_steps:
+                self.save_model()
+        if self.save_every_nth <= num_steps:
+            self.save_model()
 
     # -- corruption --------------------------------------------------------
 
@@ -390,9 +418,17 @@ class MultimodalAutoencoder:
             # softmax single-label mode: argmax predictions are 1-D
             # (the reference would crash here, :1056-1060 — fixed)
             preds = preds[:, None]
+        if preds.shape[1] != len(dl.wanted_labels):
+            # fail loudly (the reference crashes here too) rather than
+            # fabricate identical per-label prediction columns
+            raise ValueError(
+                f"model emits {preds.shape[1]} prediction column(s) but "
+                f"the classification frame has {len(dl.wanted_labels)} "
+                f"label(s) {dl.wanted_labels}; softmax mode predicts "
+                "one class column — use per-label sigmoid_cross_entropy "
+                "for multi-label frames")
         for i, label in enumerate(dl.wanted_labels):
-            df["predictions_" + label] = preds[:, min(i,
-                                                      preds.shape[1] - 1)]
+            df["predictions_" + label] = preds[:, i]
         return df
 
     def get_reconstruction_loss_per_modality(self, X) -> list:
@@ -426,16 +462,19 @@ class MultimodalAutoencoder:
         params, cfg, curves, _ = ckpt_lib.load_checkpoint_auto(
             path, self.cfg, verbose=self.verbose)
         self.cfg = cfg
+        # the corruption spec derives from cfg (noise knobs, mask value):
+        # rebuild it so post-load training/noisy evals corrupt batches
+        # with the LOADED settings, not the constructor's
+        self.spec = NoiseSpec.build(self.cfg,
+                                    self.data_loader.modality_table)
         # rebuild optimizer state for the LOADED parameters: the old
         # slots belong to the discarded init (and may not even match
         # shapes if the saved hyperparameters differ).  Divergence from
         # the reference, which restores TF slot variables too
         # (:855-859) — moments are not in the npz checkpoint, so a
         # resumed run warms Adam up fresh (distributional-parity band).
-        self.state = trainer.TrainState(
-            params=params,
-            opt_state=trainer.optim.opt_init(self.tcfg.optimizer, params),
-            step=jnp.zeros((), jnp.int32), rng=self.state.rng)
+        self.state = trainer.state_for_params(params, self.tcfg,
+                                              self.state.rng)
         self._cls_state = None
         self.train_loss = list(curves.get("train_loss", []))
         self.val_loss = list(curves.get("val_loss", []))

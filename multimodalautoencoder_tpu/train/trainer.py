@@ -81,10 +81,20 @@ def init_state(rng: Array, cfg: MMAEConfig,
                tcfg: TrainConfig) -> TrainState:
     k_init, k_run = jax.random.split(jax.random.fold_in(rng, tcfg.seed))
     params = mmae.init(k_init, cfg)
+    return state_for_params(params, tcfg, k_run)
+
+
+def state_for_params(params: mmae.MMAEParams, tcfg: TrainConfig,
+                     rng: Array) -> TrainState:
+    """Fresh TrainState around existing parameters — optimizer slots at
+    step 0 in the configured ``optimizer_state_dtype``.  The single
+    construction point for resumed/phase-2 states so they never diverge
+    from :func:`init_state` (e.g. silently falling back to f32 moments
+    when the config says bfloat16)."""
     return TrainState(params=params,
                       opt_state=optim.opt_init(tcfg.optimizer, params,
                                                _state_dtype(tcfg)),
-                      step=jnp.zeros((), jnp.int32), rng=k_run)
+                      step=jnp.zeros((), jnp.int32), rng=rng)
 
 
 def _sample_batch(rng: Array, data: Array, batch_size: int) -> Array:

@@ -253,3 +253,73 @@ def test_set_record_save_persists(csv_path, tmp_path):
     assert m.save_every_nth == 100
     assert len(m.train_loss) == 4        # 100 steps / record-every-25
     assert os.listdir(str(tmp_path))     # checkpoint written
+
+
+def test_single_label_sigmoid_classification(tmp_path):
+    """A 1-label classification loader yields 1-D Y; sigmoid-CE training
+    must see (N, 1) labels — not broadcast (B,1) logits against (B,)
+    labels into a (B,B) pairwise loss."""
+    path = synthetic.write_csv(str(tmp_path / "one.csv"), num_rows=120,
+                               seed=5, label_names=("happy_label",))
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    sup = DataLoader(path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=path, layer_sizes=[12, 6],
+        classification_layer_sizes=[8], variational=False,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    assert m.cfg.num_labels == 1
+    assert m._cls_arrays["train_y"].ndim == 2
+    m.train_classification(num_steps=30, record_every_nth=10)
+    assert all(0.0 <= a <= 1.0 for a in m.val_acc)
+    preds = m.get_classification_predictions(sup.val_X)
+    assert preds.shape == (len(sup.val_X), 1)
+    df = m.get_classification_predictions_from_df()
+    assert set(df["predictions_happy_label"]) <= {0, 1}
+
+
+def test_set_record_save_rejects_nonpositive(model):
+    with pytest.raises(ValueError):
+        model.set_record_save(record_every_nth=0)
+    with pytest.raises(ValueError):
+        model.set_record_save(save_every_nth=-5)
+
+
+def test_phase2_checkpoints_mid_run(csv_path, tmp_path):
+    """train_classification checkpoints every save_every_nth steps like
+    the reference (:641-643)."""
+    import os
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    sup = DataLoader(csv_path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=csv_path, layer_sizes=[12, 6],
+        classification_layer_sizes=[8], variational=False,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0,
+        checkpoint_dir=str(tmp_path))
+    m.train_classification(num_steps=40, record_every_nth=20,
+                           save_every_nth=20)
+    assert os.listdir(str(tmp_path))
+    assert int(m._cls_state.step) == 40
+    assert len(m.val_acc) == 2
+
+
+def test_from_df_mismatch_raises(tmp_path):
+    """softmax (argmax) predictions against a multi-label frame must
+    fail loudly, not fabricate identical per-label columns."""
+    path = synthetic.write_csv(
+        str(tmp_path / "two.csv"), num_rows=100, seed=6,
+        label_names=("happy_label", "calm_label"))
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    sup = DataLoader(path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    m = MultimodalAutoencoder(
+        filename=path, layer_sizes=[12, 6],
+        classification_layer_sizes=[8], variational=False,
+        classification_data_loader=sup, verbose=False,
+        normalize_and_fill=True, fill_gaps_with=-1.0)
+    m.set_classification_params(loss_func="softmax")
+    with pytest.raises(ValueError, match="label"):
+        m.get_classification_predictions_from_df()

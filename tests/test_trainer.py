@@ -173,3 +173,17 @@ def test_lr_schedule_and_inert_flag():
     lr_i = float(trainer.learning_rate_at(
         tcfg.replace(faithful_inert_decay=True), step))
     np.testing.assert_allclose(lr_i, 1e-3, rtol=1e-6)
+
+
+def test_state_for_params_respects_optimizer_state_dtype():
+    """Rebuilt states (resume / phase 2) must carry the configured
+    moment dtype, matching init_state for the same TrainConfig."""
+    cfg = MMAEConfig(num_feats=10, layer_sizes=(8, 4)).validate()
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=8, num_steps=10,
+                       optimizer_state_dtype="bfloat16")
+    st = trainer.init_state(jax.random.PRNGKey(0), cfg, tcfg)
+    st2 = trainer.state_for_params(st.params, tcfg, st.rng)
+    m_leaves = jax.tree_util.tree_leaves(st2.opt_state.mu)
+    assert all(a.dtype == jnp.bfloat16 for a in m_leaves)
+    ref = jax.tree_util.tree_leaves(st.opt_state.mu)
+    assert [a.dtype for a in ref] == [a.dtype for a in m_leaves]
