@@ -15,6 +15,7 @@ config-parallel machinery is reserved for the MMAE sweeps where it pays.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -22,29 +23,52 @@ import numpy as np
 from multimodalautoencoder_tpu.ops import metrics as metrics_lib
 from multimodalautoencoder_tpu.sweep import engine
 
+import jax
 import jax.numpy as jnp
 
 
 def majority_class_predictions(train_y: np.ndarray,
                                n: int) -> np.ndarray:
     """Most-frequent-class fallback (comparison_algorithms/svm.py:98-103,
-    which uses sign(mean) for {-1,1} labels — generalized to the mode)."""
-    vals, counts = np.unique(np.asarray(train_y), return_counts=True)
+    which uses sign(mean) for {-1,1} labels — generalized to the mode).
+    Multi-label train_Y yields a per-column mode of matching width, so
+    the fallback composes with the multi-label metric battery."""
+    train_y = np.asarray(train_y)
+    if train_y.ndim > 1:
+        return np.stack([majority_class_predictions(train_y[:, c], n)
+                         for c in range(train_y.shape[1])], axis=1)
+    vals, counts = np.unique(train_y, return_counts=True)
     return np.full(n, vals[np.argmax(counts)])
+
+
+_metrics_jit = jax.jit(metrics_lib.all_classification_metrics)
 
 
 def _battery(preds, y) -> Dict[str, float]:
     preds = np.asarray(preds, dtype=float)
     y = np.asarray(y, dtype=float)
     if y.ndim > 1:  # multi-label: each (row, label) cell is a sample
-        preds = preds.reshape(-1)
-        y = y.reshape(-1)
+        if preds.ndim == 1:
+            # degraded predictions narrower than the label matrix:
+            # score what aligns rather than crash the whole sweep
+            y = y[:, 0]
+        else:
+            preds = preds.reshape(-1)
+            y = y.reshape(-1)
     # sign labels {-1,1} -> {0,1} for the metric battery
     if (y < 0).any():
         y = (y > 0).astype(float)
         preds = (preds > 0).astype(float)
-    m = metrics_lib.all_classification_metrics(
-        jnp.asarray(preds, jnp.float32), jnp.asarray(y, jnp.float32))
+    # ONE jitted dispatch, pinned to the host CPU backend: these sweeps
+    # fit host-side sklearn models, and eager jnp metrics on the
+    # tunnel-attached TPU would cost ~1 s per op dispatch (CLAUDE.md)
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        m = _metrics_jit(jnp.asarray(preds, jnp.float32),
+                         jnp.asarray(y, jnp.float32))
     return {k: float(v) for k, v in m.items()}
 
 
@@ -64,7 +88,12 @@ class ClassificationBaselineSweep(engine.SerialSweep):
                  save_results_every_nth: int = 1, verbose: bool = True):
         self.data_loader = data_loader
         self.num_cross_folds = num_cross_folds
-        self.check_noisy_data = check_noisy_data
+        # the reference ties these together (svm.py:56-64 builds its
+        # loader with separate_noisy_data=check_noisy_data); a loader
+        # without the noisy/clean split has no noisy_val_X to score
+        self.check_noisy_data = (check_noisy_data and
+                                 getattr(data_loader,
+                                         "separate_noisy_data", True))
         self.model = None
         prefix = engine.get_save_prefix(
             results_path, classifier_name,

@@ -41,10 +41,18 @@ class RFSweep(ClassificationBaselineSweep):
 
     def fit(self, setting: Dict[str, Any], train_X, train_Y):
         depth = setting["max_depth"]
+        # None round-trips through the results CSV as an empty cell ->
+        # NaN, so a best-setting row read back from the ledger carries
+        # NaN where the grid had None (generic_wrapper.py:223-244's
+        # convert_param_dict_for_use has the same job)
+        if depth in (None, "None") or (isinstance(depth, float)
+                                       and depth != depth):
+            depth = None
+        else:
+            depth = int(depth)
         model = RandomForestClassifier(
             n_estimators=int(setting["num_trees"]),
-            criterion=setting["criterion"],
-            max_depth=None if depth in (None, "None") else int(depth),
+            criterion=setting["criterion"], max_depth=depth,
             min_samples_leaf=int(setting["min_leaf"]))
         model.fit(train_X, train_Y)
         return model

@@ -107,11 +107,15 @@ class DataLoader:
         self.df = pp.remove_rows_with_no_label(self.df, self.wanted_labels)
 
         if normalize_and_fill:
+            # gap imputation always works at phys SUB-BAND granularity:
+            # the reference hard-codes subdivide_phys=True inside
+            # fill_gaps_in_modalities (data_funcs.py:734,743) regardless
+            # of how modalities are extracted for masking
             self.df, self.wanted_feats = pp.normalize_fill_df(
                 self.df, self.wanted_feats, normalization=normalization,
                 remove_cols=True, fill_missing=fill_missing_with,
                 fill_gaps=fill_gaps_with, seed=seed,
-                subdivide_phys=self.subdivide_phys)
+                subdivide_phys=True)
 
         self.get_matrices_from_df()
         self.num_feats = self.get_feature_size()

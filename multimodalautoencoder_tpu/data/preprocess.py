@@ -67,14 +67,20 @@ def normalize_columns(df: pd.DataFrame, wanted_feats: Sequence[str],
     feats = list(wanted_feats)
     train = df.loc[df["dataset"] == "Train", feats]
     df = df.copy()
+    # zero-scale guard (sklearn's StandardScaler convention): a feature
+    # constant in Train divides by 1, centering only.  The reference
+    # divides by 0 there, sending differing Val/Test values to +/-inf
+    # which no later fillna can repair — fixed by default (PARITY.md).
     if normalization == "z_score":
         mean = train.mean()
         std = train.std(ddof=0)
+        std = std.where(std > 0, 1.0)
         df[feats] = (df[feats] - mean) / std
     elif normalization == "between_0_and_1":
         lo = train.min()
         hi = train.max()
-        df[feats] = (df[feats] - lo) / (hi - lo)
+        span = (hi - lo).where((hi - lo) > 0, 1.0)
+        df[feats] = (df[feats] - lo) / span
     elif normalization is not None:
         raise ValueError(f"unknown normalization {normalization!r}")
     return df
@@ -94,6 +100,11 @@ def remove_null_cols(df: pd.DataFrame, features: Sequence[str]
     null_cols: List[str] = []
     for dset in ("Train", "Test", "Val"):
         sub = df[df["dataset"] == dset]
+        if len(sub) == 0:
+            # an absent split has no evidence to drop on — the
+            # reference's isnull().all() is vacuously True on an empty
+            # frame and would silently drop EVERY feature
+            continue
         for f in find_null_columns(sub, features):
             if f not in null_cols:
                 null_cols.append(f)

@@ -146,7 +146,16 @@ def train(state: NNState, cfg: NNConfig, train_x: Array, train_y: Array,
                              length=record_every_nth)
             return st, (ta, va)
 
-        n_periods = max(num_steps // record_every_nth, 1)
+        n_periods = num_steps // record_every_nth
+        if n_periods == 0:
+            # shorter than one record period: record once at entry (the
+            # reference records at step 0, :227-234) and run EXACTLY
+            # num_steps steps — a full period here would silently train
+            # record_every_nth - num_steps extra steps
+            ta = accuracy(state.params, cfg, train_x, train_y)[None]
+            va = accuracy(state.params, cfg, val_x, val_y)[None]
+            state, _ = lax.scan(one_step, state, None, length=num_steps)
+            return state, (ta, va)
         state, (ta, va) = lax.scan(period, state, None, length=n_periods)
         rem = num_steps - n_periods * record_every_nth
         if rem > 0:

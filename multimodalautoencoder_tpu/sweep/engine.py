@@ -82,6 +82,12 @@ class ResultsLedger:
                 return False
             if isinstance(val, (list, tuple)):
                 mini = mini[mini[key].astype(str) == str(list(val))]
+            elif val is None:
+                # None round-trips to an empty CSV cell (NaN): match
+                # both the live-ledger form and the reloaded form, or
+                # every None-valued setting re-runs after a resume
+                col = mini[key]
+                mini = mini[col.isna() | (col.astype(str) == "None")]
             elif isinstance(val, (int, float)) and not isinstance(val, bool):
                 col = pd.to_numeric(mini[key], errors="coerce")
                 mini = mini[col == float(val)]

@@ -45,8 +45,7 @@ def enumerate_grid(params: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
     return out
 
 
-def add_extra_vae_params(settings: List[Dict[str, Any]],
-                         vae_incompatible_defaults: Dict[str, Any] = None
+def add_extra_vae_params(settings: List[Dict[str, Any]]
                          ) -> List[Dict[str, Any]]:
     """Mark existing combos non-variational, then append one
     variational+untied combo per unique projection onto the non-tie keys.

@@ -162,3 +162,59 @@ def test_nn_model_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(params2.w[0]),
                                   np.asarray(state.params.w[0]))
     assert "train_acc" in curves
+
+
+def test_majority_fallback_multilabel_shape():
+    """Multi-label train_Y yields a per-column-mode fallback of matching
+    width, so degraded predictions still feed the metric battery."""
+    y = np.asarray([[0, 1], [0, 1], [1, 0], [0, 1]], float)
+    p = majority_class_predictions(y, 6)
+    assert p.shape == (6, 2)
+    np.testing.assert_array_equal(p[0], [0.0, 1.0])
+
+
+def test_rf_none_max_depth_roundtrip(sup_loader, tmp_path):
+    """max_depth=None must survive the results-CSV round-trip: resume
+    dedup matches the NaN cell and fit treats NaN as None
+    (random_forest.py default grid has None, :26-28)."""
+    kwargs = dict(num_trees=[5], criteria=["gini"], max_depths=[None],
+                  min_leafs=[1], num_cross_folds=2,
+                  results_path=str(tmp_path), verbose=False)
+    sweep = random_forest.RFSweep(sup_loader, **kwargs)
+    sweep.sweep_all_parameters()
+    sweep.ledger.flush()
+
+    sweep2 = random_forest.RFSweep(sup_loader, cont=True,
+                                   **kwargs)
+    pending = [s for s in sweep2.list_of_param_settings
+               if not sweep2.ledger.already_done(s)]
+    assert pending == []                  # None matched its NaN cell
+
+    # a best-setting row read back from CSV carries NaN for max_depth;
+    # fit must treat it as unbounded depth, not crash into the
+    # majority-class fallback
+    best = sweep2.ledger.find_best_setting("val_acc").to_dict()
+    assert best["max_depth"] != best["max_depth"]      # NaN
+    model = sweep2.fit(best, sup_loader.train_X, sup_loader.train_Y)
+    assert model is not None
+
+
+def test_nn_short_run_trains_exact_steps():
+    """num_steps < record_every_nth must run EXACTLY num_steps (the old
+    floor-to-one-period scan silently overtrained)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalautoencoder_tpu.models import neural_net as nn
+
+    rng = np.random.default_rng(0)
+    X = rng.random((64, 10)).astype(np.float32)
+    Y = (X[:, 0] > 0.5).astype(np.float32)
+    cfg = nn.NNConfig(input_size=10, layer_sizes=(8,), output_size=1,
+                      batch_size=16, learning_rate=1e-2)
+    state = nn.init_state(jax.random.PRNGKey(0), cfg)
+    state, (ta, va) = nn.train(state, cfg, jnp.asarray(X), jnp.asarray(Y),
+                               jnp.asarray(X), jnp.asarray(Y),
+                               num_steps=7, record_every_nth=50)
+    assert int(state.step) == 7
+    assert ta.shape == va.shape == (1,)

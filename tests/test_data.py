@@ -225,3 +225,47 @@ def test_set_noisy_clean_data_for_fold(csv_path):
     np.testing.assert_array_equal(dl.clean_train_X, dl2.clean_train_X)
     # train/val matrices themselves are untouched by the partial rebind
     np.testing.assert_array_equal(dl2.train_X, old_train)
+
+
+def test_normalize_constant_feature_no_inf():
+    """A feature constant in Train must not divide by zero: Train rows
+    center to 0 and DIFFERING Val rows stay finite (the reference's 0/0
+    sends them to +/-inf, unfixable by fillna — PARITY.md 2.8.9)."""
+    df = pd.DataFrame({
+        "call_a": [2.0, 2.0, 2.0, 7.0],
+        "dataset": ["Train", "Train", "Train", "Val"],
+    })
+    for mode in ("z_score", "between_0_and_1"):
+        out = pp.normalize_columns(df, ["call_a"], mode)
+        assert np.isfinite(out["call_a"]).all(), mode
+        assert (out.loc[out["dataset"] == "Train", "call_a"] ==
+                0.0).all(), mode
+
+
+def test_gap_fill_uses_phys_subbands():
+    """Gap imputation always works at phys sub-band granularity (the
+    reference hard-codes subdivide_phys=True in fill_gaps_in_modalities,
+    data_funcs.py:734,743) even when the loader extracts modalities
+    unsubdivided: a row missing ALL of one sub-band gets the sentinel."""
+    cols = ["phys_10-17H:x", "phys_10-17H:y", "phys_17-24H:x",
+            "phys_17-24H:y", "phys_17-24H:z", "call_a"]
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(rng.random((6, len(cols))), columns=cols)
+    df["dataset"] = "Train"
+    # row 0: sub-band A fully missing, but only 2/5 of all phys columns
+    df.loc[0, ["phys_10-17H:x", "phys_10-17H:y"]] = np.nan
+    out, feats = pp.normalize_fill_df(df, cols, normalization=None,
+                                      fill_missing=0.0, fill_gaps=-1.0,
+                                      shuffle=False, subdivide_phys=True)
+    sub_a = ["phys_10-17H:x", "phys_10-17H:y"]
+    sub_b = ["phys_17-24H:x", "phys_17-24H:y", "phys_17-24H:z"]
+    assert (out.loc[0, sub_a] == -1.0).all()
+    assert (out.loc[0, sub_b] != -1.0).all()
+
+
+def test_remove_null_cols_ignores_empty_splits():
+    """A dataframe with no Val/Test rows must not drop every feature
+    (isnull().all() is vacuously True on an empty split)."""
+    df = pd.DataFrame({"call_a": [1.0, 2.0], "dataset": ["Train", "Train"]})
+    out, feats = pp.remove_null_cols(df, ["call_a"])
+    assert feats == ["call_a"]
