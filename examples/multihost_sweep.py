@@ -77,7 +77,8 @@ def worker(args):
             prefix = engine.get_save_prefix(
                 args.out, "MMAE", os.path.basename(args.data),
                 replace=True)
-            merged = multihost.merge_ledger_shards(args.out, prefix)
+            merged = multihost.merge_ledger_shards(args.out, prefix,
+                                                   num_shards=count)
             print(json.dumps({"merged": merged}), flush=True)
         multihost.barrier("merge_done")
 
@@ -131,7 +132,8 @@ def main(args):
         merged = os.path.join(args.out, prefix + ".csv")
         assert os.path.exists(merged), merged  # host 0 merged in-job
     else:
-        merged = multihost.merge_ledger_shards(args.out, prefix)
+        merged = multihost.merge_ledger_shards(args.out, prefix,
+                                               num_shards=args.hosts)
     import pandas as pd
     df = pd.read_csv(merged, index_col=0)
     n_expected = (len(GRID["layer_sizes"]) * len(GRID["tie_weights"])

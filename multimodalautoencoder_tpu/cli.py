@@ -90,6 +90,10 @@ def cmd_sweep_mmae(args) -> int:
                       num_steps=args.num_steps, seed=args.seed)
     best, test_score, extras = sweep.run()
     print(best)
+    if test_score is not None:
+        print("held-out test:", test_score)
+    for metric, row in extras.items():
+        print(f"best by {metric}:", dict(row))
     return 0
 
 
@@ -110,7 +114,12 @@ def cmd_sweep_classification(args) -> int:
         compute_dtype=args.compute_dtype)
     results = sweep.run()
     for metric, row in results.items():
-        print(metric, "->", float(row[metric]))
+        if metric == "test":
+            # held-out battery: a plain {test_acc: ..., ...} dict
+            for k, v in row.items():
+                print(f"test {k} -> {v}")
+        else:
+            print(metric, "->", float(row[metric]))
     return 0
 
 
@@ -174,14 +183,23 @@ def _restore(args):
 
     cfg = MMAEConfig(num_feats=dl.num_feats)
     params, cfg, _, _ = ckpt.load_checkpoint_auto(args.checkpoint, cfg)
-    return dl, cfg.replace(num_feats=dl.num_feats).validate(), params
+    trained_feats = params.enc_w[0].shape[0]
+    if trained_feats != dl.num_feats:
+        raise SystemExit(
+            f"checkpoint {args.checkpoint} was trained on "
+            f"{trained_feats} features but {args.filename} has "
+            f"{dl.num_feats} — the wanted-feature sets must match")
+    return dl, cfg.validate(), params
 
 
 def cmd_fill(args) -> int:
     from multimodalautoencoder_tpu.tools import files
 
     dl, cfg, params = _restore(args)
-    out = files.fill_missing_data_in_file(params, cfg, dl, args.filename)
+    # pass the loader's frame so --normalize-and-fill reaches the model
+    # input (the tool would otherwise re-read the raw CSV)
+    out = files.fill_missing_data_in_file(params, cfg, dl, args.filename,
+                                          df=dl.df)
     print("wrote:", out)
     return 0
 
@@ -190,7 +208,8 @@ def cmd_embed(args) -> int:
     from multimodalautoencoder_tpu.tools import files
 
     dl, cfg, params = _restore(args)
-    out = files.convert_file_to_embeddings(params, cfg, args.filename)
+    out = files.convert_file_to_embeddings(params, cfg, args.filename,
+                                           df=dl.df)
     print("wrote:", out)
     return 0
 

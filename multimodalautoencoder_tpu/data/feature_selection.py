@@ -118,7 +118,11 @@ def transform_select_K_best(X_train: np.ndarray, Y_train: np.ndarray,
 
     skb = SelectKBest(f_classif, k=K)
     skb.fit(X_train, Y_train)
-    idx = np.sort(np.argsort(skb.scores_)[::-1][:K])
+    # get_support, NOT a manual argsort of scores_: sklearn maps NaN
+    # scores (e.g. constant features) to -inf internally, while argsort
+    # sorts NaN LAST ascending = FIRST after [::-1] — the reported
+    # indices would disagree with the columns transform() actually kept
+    idx = skb.get_support(indices=True)
     return skb.transform(X_all), idx
 
 

@@ -29,12 +29,21 @@ def initialize(coordinator_address: Optional[str] = None,
 
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
-        jax.distributed.initialize(
-            coordinator_address=addr,
-            num_processes=num_processes or int(
-                os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=process_id if process_id is not None else int(
-                os.environ.get("JAX_PROCESS_ID", "0")))
+        nproc = num_processes if num_processes is not None else \
+            os.environ.get("JAX_NUM_PROCESSES")
+        pid = process_id if process_id is not None else \
+            os.environ.get("JAX_PROCESS_ID")
+        if nproc is None or pid is None:
+            # a coordinator with defaulted topology would make EVERY
+            # host believe it is process 0 of 1: full-grid duplicate
+            # work and a clobbered shared ledger.  Fail loudly instead.
+            raise ValueError(
+                "coordinator address is set but num_processes/"
+                "process_id are not — pass them explicitly or set "
+                "JAX_NUM_PROCESSES and JAX_PROCESS_ID on every host")
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
     try:
         return jax.process_index(), jax.process_count()
     except Exception:
@@ -95,18 +104,41 @@ def shard_ledger_path(results_path: str, save_prefix: str,
 
 
 def merge_ledger_shards(results_path: str, save_prefix: str,
-                        out_name: Optional[str] = None) -> str:
-    """Concatenate all shard CSVs for ``save_prefix`` into one results
-    file (row order: shard order, then within-shard order).  Returns the
-    merged path."""
-    files = sorted(
-        f for f in os.listdir(results_path)
-        if f.startswith(save_prefix + ".shard") and f.endswith(".csv"))
-    if not files:
+                        out_name: Optional[str] = None,
+                        num_shards: Optional[int] = None) -> str:
+    """Concatenate the shard CSVs of ONE generation for ``save_prefix``
+    into one results file (row order: numeric shard order, then
+    within-shard order).  Returns the merged path.
+
+    ``num_shards`` selects the generation (the ``ofN`` suffix); default
+    is the N of the most recently written shard — a stale ``of4`` set
+    left by an aborted run must not leak rows into a fresh ``of2``
+    merge.  Raises if the selected generation is incomplete."""
+    import re
+
+    pat = re.compile(re.escape(save_prefix) +
+                     r"\.shard(\d+)of(\d+)\.csv$")
+    by_gen: Dict[int, Dict[int, str]] = {}
+    for f in os.listdir(results_path):
+        m = pat.match(f)
+        if m:
+            by_gen.setdefault(int(m.group(2)), {})[int(m.group(1))] = f
+    if not by_gen:
         raise FileNotFoundError(
             f"no shards for {save_prefix!r} in {results_path}")
-    frames = [pd.read_csv(os.path.join(results_path, f), index_col=0)
-              for f in files]
+    if num_shards is None:
+        num_shards = max(
+            by_gen, key=lambda n: max(
+                os.path.getmtime(os.path.join(results_path, f))
+                for f in by_gen[n].values()))
+    shards = by_gen.get(num_shards, {})
+    missing = sorted(set(range(num_shards)) - set(shards))
+    if missing:
+        raise FileNotFoundError(
+            f"shard set of{num_shards} for {save_prefix!r} is missing "
+            f"indices {missing}")
+    frames = [pd.read_csv(os.path.join(results_path, shards[i]),
+                          index_col=0) for i in range(num_shards)]
     merged = pd.concat(frames, ignore_index=True)
     out = os.path.join(results_path, (out_name or save_prefix) + ".csv")
     merged.to_csv(out)

@@ -33,9 +33,14 @@ from multimodalautoencoder_tpu.train import trainer
 def convert_file_to_embeddings(params, cfg: MMAEConfig, path: str,
                                file_descriptor: str = "",
                                rng: Optional[jax.Array] = None,
-                               out_path: Optional[str] = None) -> str:
-    """Embed a whole CSV; returns the output path."""
-    df = pd.read_csv(path, index_col=0)
+                               out_path: Optional[str] = None,
+                               df: Optional[pd.DataFrame] = None) -> str:
+    """Embed a whole CSV; returns the output path.  ``df`` supplies an
+    already-loaded (possibly normalized/imputed) frame — otherwise the
+    file is read raw, like the reference (:1139), which assumes
+    pre-cleaned inputs."""
+    if df is None:
+        df = pd.read_csv(path, index_col=0)
     wanted_feats = pp.get_wanted_feats_from_df(df)
     other_feats = [c for c in df.columns.values if c not in wanted_feats]
     embed_df = df[other_feats].copy()
@@ -54,11 +59,17 @@ def convert_file_to_embeddings(params, cfg: MMAEConfig, path: str,
 
 def fill_missing_data_in_file(params, cfg: MMAEConfig, data_loader,
                               path: str, file_descriptor: str = "",
-                              out_path: Optional[str] = None) -> str:
+                              out_path: Optional[str] = None,
+                              df: Optional[pd.DataFrame] = None) -> str:
     """Reconstruct rows and fill ONLY missing-modality spans; returns the
     output path.  ``data_loader`` supplies the modality table and
-    wanted-feature list matching the trained model."""
-    df = pd.read_csv(path, index_col=0)
+    wanted-feature list matching the trained model.  ``df`` supplies an
+    already-loaded (possibly normalized/imputed) frame — otherwise the
+    file is read raw, like the reference (:1172), which assumes
+    pre-cleaned inputs (raw NaN gaps would reach the network and the
+    -1-sentinel span detection would never fire)."""
+    if df is None:
+        df = pd.read_csv(path, index_col=0)
     X = df[data_loader.wanted_feats].astype(float).to_numpy()
     recon, _ = trainer.predict_jit(params, cfg, jnp.asarray(X, jnp.float32))
     df = data_loader.fill_df_with_reconstruction(df, np.asarray(recon))

@@ -40,7 +40,13 @@ class JobResult:
 
 
 def load_job_file(path: str) -> List[Job]:
-    """Parse the 4-line-per-job format (run_jobs.py:85-106)."""
+    """Parse the 4-line-per-job format (run_jobs.py:85-106: name,
+    command, output path, blank separator).
+
+    Divergence from the reference's blind ``i += 4`` stride: the
+    separator line must actually be blank.  A misaligned file under the
+    stride parser silently shifts fields — job NAMES become shell
+    COMMANDS — so a non-blank separator is a loud error here."""
     jobs: List[Job] = []
     with open(path) as f:
         lines = [l.rstrip("\n") for l in f]
@@ -54,6 +60,11 @@ def load_job_file(path: str) -> List[Job]:
         jobs.append(Job(name=lines[i].strip(), command=lines[i + 1].strip(),
                         output_file=lines[i + 2].strip()))
         i += 3
+        if i < len(lines) and lines[i].strip():
+            raise ValueError(
+                f"{path}:{i + 1}: expected a blank separator line after "
+                f"job {jobs[-1].name!r}, got {lines[i]!r} — each job is "
+                "name / command / output-path / blank line")
     return jobs
 
 

@@ -91,3 +91,30 @@ def test_real_distributed_two_process_sweep(tmp_path):
     raise AssertionError(
         f"distributed bring-up failed twice: rc={last.returncode}\n"
         f"stdout:\n{last.stdout}\nstderr:\n{last.stderr}")
+
+
+def test_merge_ignores_stale_shard_generations(tmp_path):
+    """An aborted of4 run's leftovers must not leak rows into a fresh
+    of2 merge; shards sort numerically (shard10 after shard2)."""
+    import time
+    for name, c in (("MMAE-d.shard0of4.csv", 99), ("MMAE-d.shard0of2.csv", 0),
+                    ("MMAE-d.shard1of2.csv", 1)):
+        pd.DataFrame({"C": [c]}).to_csv(tmp_path / name)
+    # make the of2 generation newest
+    now = time.time()
+    os.utime(tmp_path / "MMAE-d.shard0of4.csv", (now - 100, now - 100))
+    out = multihost.merge_ledger_shards(str(tmp_path), "MMAE-d")
+    df = pd.read_csv(out, index_col=0)
+    assert list(df["C"]) == [0, 1]
+    # explicit generation + incomplete set -> loud error
+    with pytest.raises(FileNotFoundError, match="missing"):
+        multihost.merge_ledger_shards(str(tmp_path), "MMAE-d",
+                                      num_shards=4)
+
+
+def test_initialize_requires_explicit_topology(monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="num_processes"):
+        multihost.initialize()

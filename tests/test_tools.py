@@ -177,3 +177,25 @@ def test_helpers_surface():
     x, y = rng.random((7, 3)), rng.random((7, 3))
     assert helpers.get_rmse(x, y) == pytest.approx(
         float(np.sqrt(mean_squared_error(x, y))))
+
+
+def test_job_file_nonblank_separator_is_loud(tmp_path):
+    """A non-blank 4th line must not silently shift fields (under the
+    reference's blind stride-4, job NAMES become shell COMMANDS)."""
+    job_file = tmp_path / "jobs.txt"
+    job_file.write_text("Job1\ntrue\nout1.txt\nNOTE: not blank\n"
+                        "Job2\ntrue\nout2.txt\n")
+    with pytest.raises(ValueError, match="blank separator"):
+        jobs.load_job_file(str(job_file))
+
+
+def test_skb_indices_match_transform_with_nan_scores():
+    """A constant feature yields a NaN F-score; the reported indices
+    must be the columns transform() actually kept."""
+    rng = np.random.default_rng(0)
+    X = rng.random((50, 6))
+    X[:, 2] = 0.5                      # constant -> NaN f_classif score
+    y = (X[:, 0] > 0.5).astype(int)
+    Xt, idx = fs.transform_select_K_best(X, y, X, K=3)
+    assert 2 not in idx
+    np.testing.assert_array_equal(Xt, X[:, np.sort(idx)])
