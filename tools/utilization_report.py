@@ -28,12 +28,14 @@ RECORDED_RATES = {
 
 # Phase-2 classification (batch 100, encoder + 50x20 head): measured
 # with --measure-cls; rates are inst-steps/s of the phase-2 kernel.
-# None = not yet measured on a healthy chip.
+# 2026-08-18, healthy chip: bf16 matmul operands are a NULL lever here
+# (within noise of f32 at both widths) — phase 2 is not MXU-bound at
+# these shapes, so compute_dtype stays f32 by default.
 CLS_RECORDED_RATES = {
-    "phase-2 tied 1000x100 +50x20 head (f32)": None,
-    "phase-2 tied 1000x100 +50x20 head (bf16)": None,
-    "phase-2 tied 300x100 +50x20 head (f32)": None,
-    "phase-2 tied 300x100 +50x20 head (bf16)": None,
+    "phase-2 tied 1000x100 +50x20 head (f32)": 30_700,
+    "phase-2 tied 1000x100 +50x20 head (bf16)": 30_300,
+    "phase-2 tied 300x100 +50x20 head (f32)": 98_800,
+    "phase-2 tied 300x100 +50x20 head (bf16)": 98_800,
 }
 
 
