@@ -34,8 +34,10 @@ RECORDED_RATES = {
 CLS_RECORDED_RATES = {
     "phase-2 tied 1000x100 +50x20 head (f32)": 30_700,
     "phase-2 tied 1000x100 +50x20 head (bf16)": 30_300,
+    "phase-2 tied 500x100 +50x20 head (f32)": 90_100,
     "phase-2 tied 300x100 +50x20 head (f32)": 98_800,
     "phase-2 tied 300x100 +50x20 head (bf16)": 98_800,
+    "phase-2 tied 200x100 +50x20 head (f32)": 107_700,
 }
 
 
@@ -87,9 +89,12 @@ def _measure(name: str, tcfg) -> float:
 
 
 def _cls_cfg_for(name: str):
+    import re
+
     from multimodalautoencoder_tpu.config import MMAEConfig
 
-    arch = (1000, 100) if "1000x100" in name else (300, 100)
+    m = re.search(r"(\d+)x(\d+)", name)
+    arch = (int(m.group(1)), int(m.group(2)))
     return MMAEConfig(num_feats=arch[0], layer_sizes=arch,
                       tie_weights=True, loss="sigmoid_cross_entropy",
                       classification_layer_sizes=(50, 20), num_labels=1,
@@ -141,6 +146,68 @@ def _measure_cls(name: str, tcfg, cls_tcfg) -> float:
     return n_inst * STEPS / (time.perf_counter() - t0)
 
 
+def _reconcile_cls() -> None:
+    """Reconcile the measured full-job classification wall
+    (BENCH_classification_r03.json: 861.5 s) against the MEASURED
+    phase-2 per-width rates: on the single-queue tunnel every device
+    program serializes, so expected wall ~= phase-1 + phase-2 + metric
+    device seconds + ~1 s/dispatch.  Quantifies that the 'metrics' wait
+    in the bench's phase attribution is queue blocking behind phase-2
+    programs, not metric compute (CLAUDE.md tunnel-queue semantics).
+
+    Grid (reference autoencoder_classification_wrapper.py:37-48): 36
+    buckets = 9 phase-1 families (3 widths x tied/untied-DAE/untied-VAE)
+    x 4 heads; 16 settings x 5 folds x 15000 steps each; shared phase 1
+    trains 4 unique MMAE settings per family.  Caveat: rates were
+    measured on tied encoders with the (50,20) head at 60 instances;
+    head-size and VAE-encoder variation across the grid is a few-percent
+    effect on the phase-2 term.
+    """
+    import json
+    import os
+
+    widths = (1000, 500, 200)
+    p2_rates = {w: CLS_RECORDED_RATES.get(
+        f"phase-2 tied {w}x100 +50x20 head (f32)") for w in widths}
+    print("| term | inst-steps | rate (inst-steps/s) | expected s |")
+    print("|---|---|---|---|")
+    total = 0.0
+    for w in widths:
+        inst = 12 * 16 * 5 * 15000          # 12 buckets per width
+        r = p2_rates[w]
+        if r is None:
+            print(f"| phase-2 {w}-wide | {inst / 1e6:.1f}M | UNMEASURED | ? |")
+            continue
+        s = inst / r
+        total += s
+        print(f"| phase-2 {w}-wide (12 buckets) | {inst / 1e6:.1f}M "
+              f"| {r / 1000:.1f}k | {s:.0f} |")
+    p1_inst = 9 * 4 * 5 * 15000             # shared phase 1, 36 pretrains
+    fast, slow = max(RECORDED_RATES.values()), min(RECORDED_RATES.values())
+    print(f"| phase-1 shared (36 pretrains) | {p1_inst / 1e6:.1f}M "
+          f"| {slow / 1000:.0f}k-{fast / 1000:.0f}k "
+          f"| {p1_inst / fast:.0f}-{p1_inst / slow:.0f} |")
+    print(f"| dispatch (~2/bucket x 36 @ ~1 s) | - | - | ~72 |")
+    lo = total + p1_inst / fast
+    hi = total + p1_inst / slow + 72
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_classification_r03.json")
+    wall = None
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            rec = json.load(f)
+        import re as _re
+        m = _re.search(r"wall (\d+(?:\.\d+)?)s", rec.get("unit", ""))
+        wall = float(m.group(1)) if m else None
+    print(f"\nexpected wall: {lo:.0f}-{hi:.0f} s "
+          f"(phase-2 device floor {total:.0f} s)")
+    if wall is not None:
+        print(f"measured wall: {wall:.1f} s (BENCH_classification_r03) "
+              f"-> phase-2 device compute is ~{100 * total / wall:.0f}% "
+              f"of the wall; the bench's 'metrics' wait is queue "
+              f"blocking, not metric compute")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
@@ -148,7 +215,14 @@ def main():
     ap.add_argument("--measure-cls", action="store_true",
                     help="measure phase-2 classification rates on the "
                          "attached TPU (f32 and bf16)")
+    ap.add_argument("--reconcile-cls", action="store_true",
+                    help="reconcile the measured classification-job wall "
+                         "against the recorded phase-2 rates (no TPU)")
     args = ap.parse_args()
+
+    if args.reconcile_cls:
+        _reconcile_cls()
+        return
 
     from multimodalautoencoder_tpu.config import TrainConfig
     from multimodalautoencoder_tpu.utils import flops
