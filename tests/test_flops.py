@@ -55,6 +55,41 @@ def test_utilization_row_units():
     assert r["useful_gflops_per_s"] > 1000       # multi-TFLOP/s regime
 
 
+def test_reconcile_cls_report(capsys):
+    """tools/utilization_report --reconcile-cls is pure host-side
+    arithmetic over the recorded rates — pin the per-width rows and the
+    printed phase-2 floor so the README's device-saturation claim can't
+    drift from the constants it is derived from."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "utilization_report",
+        os.path.join(root, "tools", "utilization_report.py"))
+    ur = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ur)
+
+    # width parser behind --measure-cls handles every measured width
+    for w in (1000, 500, 300, 200):
+        c = ur._cls_cfg_for(f"phase-2 tied {w}x100 +50x20 head (f32)")
+        assert tuple(c.layer_sizes) == (w, 100)
+
+    ur._reconcile_cls()
+    out = capsys.readouterr().out
+    # one row per classification-grid width — 1000/500/200, which
+    # differ from the MMAE sweep's 1000/500/300
+    # (reference autoencoder_classification_wrapper.py:38)
+    for w in (1000, 500, 200):
+        assert f"phase-2 {w}-wide" in out
+    assert "expected wall" in out
+    floor = sum(
+        12 * 16 * 5 * 15000
+        / ur.CLS_RECORDED_RATES[f"phase-2 tied {w}x100 +50x20 head (f32)"]
+        for w in (1000, 500, 200))
+    assert f"device floor {floor:.0f} s" in out
+
+
 def test_cls_flops_positive_and_structured():
     CLS_TCFG = TrainConfig(learning_rate=1e-4, batch_size=100,
                            num_steps=15000, clip_gradients=False,
