@@ -108,6 +108,40 @@ def train_step_hbm_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
     return float(panels + streamed)
 
 
+def cls_train_step_hbm_bytes(cfg: MMAEConfig,
+                             cls_tcfg: TrainConfig) -> float:
+    """HBM bytes moved per phase-2 instance-step
+    (ops/train_kernel._cls_train_kernel).
+
+    Two terms: (1) the sampled supervised batch — B panels of
+    (SUB, Fp+Lp), features AND labels riding the same aligned rows;
+    (2) for shapes where W1's Adam moments spill to HBM
+    (needs_cls_streaming — the 1000-wide family), the fused m+v tile
+    stream, read+write each step.  Everything else lives in VMEM for
+    the whole run.
+
+    This is the number behind the README's phase-2 roofline rows: at
+    the measured 30.7k inst-steps/s the 1000-wide streamed shape moves
+    ~12.1 MB/step = ~371 GB/s, i.e. ~93% of the chip's measured
+    achievable mixed-R/W DMA bandwidth (~400 GB/s, tools/hbm_bench.py)
+    — phase 2 at 1000-wide is DMA-bound, not MXU-bound, which is why
+    bf16 matmul operands measured as a null lever there.
+    """
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+
+    cfg = cfg.validate()
+    B = cls_tcfg.batch_size
+    Fp = tk._pad_to(cfg.num_feats, tk.LANE)
+    Lp = tk._pad_to(cfg.num_labels, tk.LANE)
+    state_b = 2 if cls_tcfg.optimizer_state_dtype == "bfloat16" else 4
+    panels = B * tk.SUB * (Fp + Lp) * 4
+    streamed = 0.0
+    if tk.needs_cls_streaming(cfg, cls_tcfg):
+        H1p = tk._pad_to(cfg.layer_sizes[0], tk.LANE)
+        streamed = 2.0 * 2.0 * Fp * H1p * state_b     # m+v, read+write
+    return float(panels + streamed)
+
+
 def cls_train_step_flops(cfg: MMAEConfig,
                          tcfg: TrainConfig) -> Dict[str, float]:
     """FLOPs of ONE phase-2 classification training step of ONE

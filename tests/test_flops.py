@@ -55,6 +55,42 @@ def test_utilization_row_units():
     assert r["useful_gflops_per_s"] > 1000       # multi-TFLOP/s regime
 
 
+def test_cls_hbm_bytes_match_streaming_gate():
+    """Phase-2 HBM accounting follows the kernel's own streaming gate:
+    the 1000-wide family spills W1's fused m+v moments to HBM (and at
+    the measured 30.7k inst-steps/s that traffic sits at the chip's
+    measured ~400 GB/s achievable DMA wall — the quantified reason
+    bf16 matmul operands were a null lever there); the smaller widths
+    stay VMEM-resident and move only batch panels."""
+    from multimodalautoencoder_tpu.ops import train_kernel as tk
+
+    CLS_TCFG = TrainConfig(learning_rate=1e-4, batch_size=100,
+                           num_steps=15000, clip_gradients=False,
+                           optimizer_state_dtype="bfloat16")
+
+    def c(w):
+        return cfg(num_feats=w, layer_sizes=(w, 100),
+                   classification_layer_sizes=(50, 20), num_labels=1)
+
+    assert tk.needs_cls_streaming(c(1000), CLS_TCFG)
+    big = flops.cls_train_step_hbm_bytes(c(1000), CLS_TCFG)
+    # panels + m/v stream: 100*8*(1024+128)*4 + 2*2*1024*1024*2
+    assert big == 100 * 8 * (1024 + 128) * 4 + 4 * 1024 * 1024 * 2
+    # measured rate x bytes/step lands at the ~400 GB/s DMA wall
+    assert 0.85 < (big * 30_700 / 400e9) < 1.05
+    for w in (500, 300, 200):
+        assert not tk.needs_cls_streaming(c(w), CLS_TCFG)
+        small = flops.cls_train_step_hbm_bytes(c(w), CLS_TCFG)
+        Fp = tk._pad_to(w, tk.LANE)
+        assert small == 100 * 8 * (Fp + 128) * 4
+    # f32 moments double the streamed component only
+    import dataclasses
+
+    f32 = dataclasses.replace(CLS_TCFG, optimizer_state_dtype="float32")
+    if tk.needs_cls_streaming(c(1000), f32):
+        assert flops.cls_train_step_hbm_bytes(c(1000), f32) > big
+
+
 def test_reconcile_cls_report(capsys):
     """tools/utilization_report --reconcile-cls is pure host-side
     arithmetic over the recorded rates — pin the per-width rows and the

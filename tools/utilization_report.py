@@ -258,9 +258,16 @@ def main():
         peak = (flops.V5E_PEAK_BF16_FLOPS if "(bf16)" in name
                 else flops.V5E_PEAK_F32_FLOPS)
         gfs = fl["total"] * rate / 1e9
+        hbm_s = flops.cls_train_step_hbm_bytes(cfg, cls_tcfg) * rate
+        # % of spec peak (819 GB/s) for table consistency; the streamed
+        # 1000-wide row's 371 GB/s is ~93% of the chip's MEASURED
+        # achievable mixed-R/W DMA bandwidth (~400 GB/s, hbm_bench.py)
+        # — that shape is DMA-bound, the smaller (non-streamed) shapes
+        # are bound by per-panel DMA latency of the batch sampling
         print(f"| {name} | {rate / 1000:.1f}k | {gfs:.0f} "
               f"| {100.0 * gfs * 1e9 / peak:.1f}% (of own-dtype peak) "
-              f"| - | - |")
+              f"| {hbm_s / 1e9:.0f} "
+              f"| {100.0 * hbm_s / flops.V5E_PEAK_HBM_BYTES:.1f}% |")
 
 
 if __name__ == "__main__":
