@@ -442,12 +442,23 @@ class MultimodalAutoencoder:
 
     def save_model(self, file_name: Optional[str] = None,
                    directory: Optional[str] = None) -> str:
+        # persist optimizer slots + step + RNG for BOTH phases, the
+        # equivalent of the reference Saver covering all variables
+        # (:786-788) — a reloaded model resumes training step-exactly
+        states = {"opt": (self.state.opt_state, self.state.step,
+                          self.state.rng)}
+        tags = {"opt": self.tcfg.optimizer}
+        if self._cls_state is not None:
+            states["cls_opt"] = (self._cls_state.opt_state,
+                                 self._cls_state.step, self._cls_state.rng)
+            tags["cls_opt"] = self.classification_tcfg.optimizer
         return ckpt_lib.save_checkpoint(
             directory or self.checkpoint_dir,
             file_name or self.model_name, self.params, self.cfg,
             curves={"train_loss": np.asarray(self.train_loss),
                     "val_loss": np.asarray(self.val_loss)},
-            step=len(self.train_loss) * self.record_every_nth)
+            step=len(self.train_loss) * self.record_every_nth,
+            states=states, state_tags=tags)
 
     def load_saved_model(self, directory: Optional[str] = None,
                          checkpoint_name: Optional[str] = None) -> None:
@@ -467,17 +478,41 @@ class MultimodalAutoencoder:
         # with the LOADED settings, not the constructor's
         self.spec = NoiseSpec.build(self.cfg,
                                     self.data_loader.modality_table)
-        # rebuild optimizer state for the LOADED parameters: the old
-        # slots belong to the discarded init (and may not even match
-        # shapes if the saved hyperparameters differ).  Divergence from
-        # the reference, which restores TF slot variables too
-        # (:855-859) — moments are not in the npz checkpoint, so a
-        # resumed run warms Adam up fresh (distributional-parity band).
-        self.state = trainer.state_for_params(params, self.tcfg,
-                                              self.state.rng)
+        # restore optimizer slots + step + RNG like the reference's
+        # saver.restore over ALL variables (:855-859), so a resumed run
+        # continues step-exactly.  Structure/shape mismatch (older
+        # checkpoint, different optimizer, saved hyperparameters won)
+        # falls back to fresh slots around the loaded params.
+        self.state = self._restore_train_state(
+            path, "opt", params, self.tcfg, self.state.rng)
         self._cls_state = None
+        if "cls_opt" in ckpt_lib.saved_state_names(path):
+            self._cls_state = self._restore_train_state(
+                path, "cls_opt", params, self.classification_tcfg,
+                jax.random.PRNGKey(self.seed + 3))
         self.train_loss = list(curves.get("train_loss", []))
         self.val_loss = list(curves.get("val_loss", []))
+
+    def _restore_train_state(self, path: str, name: str, params,
+                             tcfg, fallback_rng) -> trainer.TrainState:
+        """TrainState from a checkpoint's saved optimizer state, or a
+        fresh one around ``params`` when absent/mismatched."""
+        fresh = trainer.state_for_params(params, tcfg, fallback_rng)
+        template = (fresh.opt_state, fresh.step, fresh.rng)
+        try:
+            restored = ckpt_lib.restore_state(path, name, template,
+                                              expect_tag=tcfg.optimizer)
+        except ValueError as e:
+            if self.verbose:
+                print(f"WARNING! could not restore saved {name} state "
+                      f"({e}); optimizer starts fresh.")
+            restored = None
+        if restored is None:
+            return fresh
+        opt_state, step, rng = restored
+        return trainer.TrainState(params=params, opt_state=opt_state,
+                                  step=jnp.asarray(step),
+                                  rng=jnp.asarray(rng))
 
     # -- file tools / plots ------------------------------------------------
 

@@ -10,6 +10,14 @@ Storage is a single ``.npz`` holding the flattened parameter pytree (leaf
 order from ``jax.tree_util.tree_flatten``) plus a JSON metadata blob —
 host-portable, no TF Saver.  Checkpoint names carry the trained-step count
 like the reference (``<name>-<steps>``, :787-791).
+
+The reference's ``tf.train.Saver`` covers ALL graph variables — Adam slot
+variables included — so a restored model resumes training step-exactly
+(:786-788, :855-859).  The equivalent here is the ``states`` payload:
+arbitrary named pytrees (optimizer slots, step counter, RNG key) flattened
+alongside the params and restored with :func:`restore_state`.  bfloat16
+leaves are stored as uint16 views (npz cannot round-trip ml_dtypes) and
+viewed back on load.
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ import re
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
@@ -36,14 +45,23 @@ _REF_ALIASES = {"activation_func": "activation", "loss_func": "loss"}
 def save_checkpoint(directory: str, model_name: str, params,
                     cfg: MMAEConfig, curves: Optional[dict] = None,
                     step: Optional[int] = None,
-                    tcfg: Optional[TrainConfig] = None) -> str:
+                    tcfg: Optional[TrainConfig] = None,
+                    states: Optional[dict] = None,
+                    state_tags: Optional[dict] = None) -> str:
     """Save params + hyperparam/curve side-car.  Returns the file path.
 
     ``step`` defaults to ``len(train_loss) * record_every_nth``, matching
     the reference's "training_epochs" naming (:787-788).
+
+    ``states`` maps a name to an arbitrary pytree persisted alongside the
+    params — the analog of the reference Saver covering optimizer slot
+    variables (:786-788).  ``state_tags`` optionally attaches a string per
+    state (e.g. the optimizer name) that :func:`restore_state` can check.
     """
     os.makedirs(directory, exist_ok=True)
     curves = curves or {}
+    states = states or {}
+    state_tags = state_tags or {}
     if step is None:
         record = tcfg.record_every_nth if tcfg else 50
         step = len(np.asarray(curves.get("train_loss", []))) * record
@@ -53,6 +71,19 @@ def save_checkpoint(directory: str, model_name: str, params,
     for name, arr in curves.items():
         payload[f"curve_{name}"] = np.asarray(arr)
 
+    states_meta = {}
+    for name, tree in states.items():
+        s_leaves = jax.tree_util.tree_leaves(tree)
+        bf16 = []
+        for i, leaf in enumerate(s_leaves):
+            a = np.asarray(leaf)
+            if a.dtype == jnp.bfloat16:
+                a = a.view(np.uint16)
+                bf16.append(i)
+            payload[f"state_{name}_{i}"] = a
+        states_meta[name] = {"num_leaves": len(s_leaves), "bf16": bf16,
+                             "tag": state_tags.get(name)}
+
     meta = {
         "num_leaves": len(leaves),
         "treedef": str(treedef),
@@ -60,6 +91,7 @@ def save_checkpoint(directory: str, model_name: str, params,
         "config": {f.name: getattr(cfg, f.name)
                    for f in dataclasses.fields(cfg)},
         "curve_names": sorted(curves.keys()),
+        "states": states_meta,
     }
     payload["meta_json"] = np.frombuffer(
         json.dumps(meta, default=_json_default).encode(), dtype=np.uint8)
@@ -158,3 +190,56 @@ def load_checkpoint_auto(path: str, cfg: MMAEConfig, verbose: bool = True):
         if k in {f.name for f in dataclasses.fields(cfg)}}).validate()
     template = mmae.init(jax.random.PRNGKey(0), resolved)
     return load_checkpoint(path, template, resolved, verbose=verbose)
+
+
+def saved_state_names(path: str) -> tuple:
+    """Names of the auxiliary state pytrees stored in a checkpoint."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode())
+    return tuple(sorted(meta.get("states", {})))
+
+
+def restore_state(path: str, name: str, template,
+                  expect_tag: Optional[str] = None):
+    """Restore the named auxiliary state pytree from a checkpoint.
+
+    The equivalent of ``saver.restore`` covering optimizer slot variables
+    (multimodal_autoencoder.py:855-859): ``template`` supplies the pytree
+    structure (build via ``optim.opt_init`` around the loaded params);
+    leaves come back with their SAVED dtypes/values, bit-exactly.
+
+    Returns ``None`` when the checkpoint has no state under ``name``
+    (e.g. written by an older save).  Raises ``ValueError`` on structure,
+    shape, or tag mismatch — callers should fall back to fresh
+    initialization in that case.
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode())
+        info = meta.get("states", {}).get(name)
+        if info is None:
+            return None
+        if expect_tag is not None and info.get("tag") not in (None,
+                                                              expect_tag):
+            raise ValueError(
+                f"checkpoint state {name!r} was saved under tag "
+                f"{info.get('tag')!r} but {expect_tag!r} was expected")
+        bf16 = set(info.get("bf16", []))
+        leaves = []
+        for i in range(info["num_leaves"]):
+            a = data[f"state_{name}_{i}"]
+            if i in bf16:
+                a = a.view(jnp.bfloat16)
+            leaves.append(a)
+
+    treedef = jax.tree_util.tree_structure(template)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"checkpoint state {name!r} has {len(leaves)} leaves but the "
+            f"template has {treedef.num_leaves} — optimizer or model "
+            "structure differs; fall back to fresh state")
+    for a, t in zip(leaves, jax.tree_util.tree_leaves(template)):
+        if tuple(np.shape(a)) != tuple(np.shape(t)):
+            raise ValueError(
+                f"checkpoint state {name!r} leaf shape {np.shape(a)} != "
+                f"template {np.shape(t)} — fall back to fresh state")
+    return jax.tree_util.tree_unflatten(treedef, leaves)

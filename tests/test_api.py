@@ -192,18 +192,20 @@ def test_phase_interleaving_keeps_separate_opt_slots(csv_path):
     assert int(m._cls_state.step) == 40          # phase-2 slots resumed
 
 
-def test_load_saved_model_rebuilds_opt_state(model, tmp_path):
-    """load_saved_model must leave a trainable state: optimizer slots
-    are rebuilt for the loaded params (shapes can differ from the ctor
-    init when the checkpoint's hyperparameters win)."""
+def test_load_saved_model_restores_opt_state(model, tmp_path):
+    """load_saved_model restores the optimizer slots AND step counter
+    (the reference Saver covers Adam slot variables, :786-788), leaving
+    a state that keeps training from where the save left off."""
+    saved_step = int(model.state.step)
     m2 = MultimodalAutoencoder(
         data_loader=model.data_loader, layer_sizes=[24, 8],
         variational=False, tie_weights=True, verbose=False,
         checkpoint_dir=model.checkpoint_dir)
     model.save_model()
     m2.load_saved_model()
+    assert int(m2.state.step) == saved_step
     m2.train(num_steps=20, record_every_nth=20)  # must not crash
-    assert int(m2.state.step) == 20
+    assert int(m2.state.step) == saved_step + 20
 
 
 def test_get_embedding_fresh_noise(model):
@@ -323,3 +325,126 @@ def test_from_df_mismatch_raises(tmp_path):
     m.set_classification_params(loss_func="softmax")
     with pytest.raises(ValueError, match="label"):
         m.get_classification_predictions_from_df()
+
+
+# -- step-exact checkpoint resume (reference Saver covers Adam slots,
+#    multimodal_autoencoder.py:786-788, :855-859) ------------------------
+
+def _model_kwargs(csv_path):
+    return dict(filename=csv_path, layer_sizes=[16, 6], variational=False,
+                learning_rate=1e-3, batch_size=16, verbose=False,
+                normalize_and_fill=True, fill_gaps_with=-1.0, seed=3)
+
+
+def _assert_trees_equal(a, b):
+    import jax
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_step_exact_resume_phase1(csv_path, tmp_path):
+    """train(N) == train(N/2); save; load; train(N/2) — bitwise, params
+    AND curves AND optimizer moments (the reference restores Adam slot
+    variables, so a resumed run continues step-exactly)."""
+    kw = _model_kwargs(csv_path)
+    a = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "a"), **kw)
+    a.train(num_steps=120, record_every_nth=30)
+
+    b = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "b"), **kw)
+    b.train(num_steps=60, record_every_nth=30)
+    b.save_model()
+    c = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "b"), **kw)
+    c.load_saved_model()
+    assert int(c.state.step) == 60
+    c.train(num_steps=60, record_every_nth=30)
+
+    _assert_trees_equal(a.params, c.params)
+    _assert_trees_equal(a.state.opt_state, c.state.opt_state)
+    np.testing.assert_array_equal(np.asarray(a.state.rng),
+                                  np.asarray(c.state.rng))
+    np.testing.assert_array_equal(np.asarray(a.train_loss),
+                                  np.asarray(c.train_loss))
+    np.testing.assert_array_equal(np.asarray(a.val_loss),
+                                  np.asarray(c.val_loss))
+
+
+def test_step_exact_resume_phase2(csv_path, tmp_path):
+    """Phase-2 Adam slots round-trip too (the reference's second
+    minimize() owns its own slot variables and the Saver covers them)."""
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+
+    sup = DataLoader(csv_path, supervised=True, suppress_output=True,
+                     normalize_and_fill=True, fill_gaps_with=-1.0)
+    kw = _model_kwargs(csv_path)
+    kw.update(classification_layer_sizes=[8],
+              classification_data_loader=sup)
+
+    a = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "a"), **kw)
+    a.train(num_steps=60, record_every_nth=30)
+    a.train_classification(num_steps=80, record_every_nth=40)
+
+    b = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "b"), **kw)
+    b.train(num_steps=60, record_every_nth=30)
+    b.train_classification(num_steps=40, record_every_nth=40)
+    b.save_model()
+    c = MultimodalAutoencoder(checkpoint_dir=str(tmp_path / "b"), **kw)
+    c.load_saved_model()
+    assert c._cls_state is not None
+    assert int(c._cls_state.step) == 40
+    c.train_classification(num_steps=40, record_every_nth=40)
+
+    _assert_trees_equal(a.params, c.params)
+    _assert_trees_equal(a._cls_state.opt_state, c._cls_state.opt_state)
+    np.testing.assert_array_equal(
+        np.asarray(a.classification_val_loss[-1:]),
+        np.asarray(c.classification_val_loss[-1:]))
+    # phase-1 slots restored alongside (untouched by phase 2)
+    _assert_trees_equal(a.state.opt_state, c.state.opt_state)
+
+
+def test_resume_optimizer_mismatch_falls_back(csv_path, tmp_path):
+    """A checkpoint saved under a different optimizer restores params but
+    starts the optimizer fresh (loud warning, no crash)."""
+    kw = _model_kwargs(csv_path)
+    b = MultimodalAutoencoder(checkpoint_dir=str(tmp_path), **kw)
+    b.train(num_steps=40, record_every_nth=20)
+    b.save_model()
+    c = MultimodalAutoencoder(checkpoint_dir=str(tmp_path), **kw)
+    c.tcfg = c.tcfg.replace(optimizer="sgd")
+    c.load_saved_model()
+    assert int(c.state.step) == 0          # fresh slots
+    _assert_trees_equal(b.params, c.params)  # weights still loaded
+    c.train(num_steps=20, record_every_nth=20)  # trainable
+
+
+def test_restore_state_bf16_bit_roundtrip(tmp_path):
+    """bfloat16 moment leaves survive the npz round-trip bit-exactly
+    (stored as uint16 views; npz cannot encode ml_dtypes natively)."""
+    import jax.numpy as jnp
+    from multimodalautoencoder_tpu.train import checkpoint as ckpt_lib
+    from multimodalautoencoder_tpu.config import MMAEConfig
+
+    rng = np.random.default_rng(0)
+    state = {"m": jnp.asarray(rng.standard_normal((5, 3)), jnp.bfloat16),
+             "v": jnp.asarray(rng.standard_normal((5, 3)), jnp.float32),
+             "count": jnp.asarray(7, jnp.int32)}
+    cfg = MMAEConfig(num_feats=4, layer_sizes=(3,)).validate()
+    params = {"w": np.zeros((4, 3), np.float32)}
+    path = ckpt_lib.save_checkpoint(str(tmp_path), "m", params, cfg,
+                                    states={"opt": state},
+                                    state_tags={"opt": "adam"})
+    assert ckpt_lib.saved_state_names(path) == ("opt",)
+    back = ckpt_lib.restore_state(path, "opt", state, expect_tag="adam")
+    assert back["m"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(back["m"]).view(np.uint16),
+        np.asarray(state["m"]).view(np.uint16))
+    np.testing.assert_array_equal(np.asarray(back["v"]),
+                                  np.asarray(state["v"]))
+    assert int(back["count"]) == 7
+    with pytest.raises(ValueError, match="tag"):
+        ckpt_lib.restore_state(path, "opt", state, expect_tag="sgd")
+    assert ckpt_lib.restore_state(path, "missing", state) is None
