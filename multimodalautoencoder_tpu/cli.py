@@ -64,6 +64,30 @@ def _loader(path, supervised, args, wanted_label=None,
                       engine=args.engine)
 
 
+def _add_sweep_common(p: argparse.ArgumentParser) -> None:
+    """Flags shared by both sweep subcommands, mirroring the Python
+    surface (sweep/wrappers.py)."""
+    p.add_argument("--backend", choices=("auto", "xla", "pallas"),
+                   default="auto",
+                   help="training backend: 'auto' uses the VMEM-resident "
+                        "Pallas kernel where the shape family allows, "
+                        "the XLA grid trainer otherwise; 'xla'/'pallas' "
+                        "force")
+    p.add_argument("--process-shard", nargs=2, type=int, default=None,
+                   metavar=("I", "N"),
+                   help="multi-host scale-out: sweep only this host's "
+                        "round-robin slice I of N and write a ledger "
+                        "shard (merge with parallel/multihost.py)")
+    p.add_argument("--save-best-params", action="store_true",
+                   help="checkpoint the best setting's fold-0 parameters "
+                        "at the end of the sweep (consumable by "
+                        "fill/embed --checkpoint)")
+
+
+def _shard(args):
+    return tuple(args.process_shard) if args.process_shard else None
+
+
 def _reject_z_score(args) -> None:
     """The z-score prep is a baseline-CLI mode (comparison_algorithms/
     svm.py:14,143-150); the MMAE sweeps fix sigmoid-CE reconstruction of
@@ -87,7 +111,11 @@ def cmd_sweep_mmae(args) -> int:
                       results_path=args.results_path, cont=args.cont,
                       check_test=args.check_test,
                       num_cross_folds=args.folds,
-                      num_steps=args.num_steps, seed=args.seed)
+                      num_steps=args.num_steps, seed=args.seed,
+                      backend=args.backend,
+                      probe=(None if args.probe == "none" else args.probe),
+                      process_shard=_shard(args),
+                      save_best_params=args.save_best_params)
     best, test_score, extras = sweep.run()
     print(best)
     if test_score is not None:
@@ -111,7 +139,9 @@ def cmd_sweep_classification(args) -> int:
         check_test=args.check_test, num_cross_folds=args.folds,
         mmae_num_steps=args.num_steps,
         classification_num_steps=args.num_steps, seed=args.seed,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, backend=args.backend,
+        process_shard=_shard(args),
+        save_best_params=args.save_best_params)
     results = sweep.run()
     for metric, row in results.items():
         if metric == "test":
@@ -242,7 +272,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("filename")
     p.add_argument("classification_filename", nargs="?", default=None)
     p.add_argument("--num-steps", type=int, default=15000)
+    p.add_argument("--probe", default="device",
+                   choices=("device", "device-exact", "svm", "none"),
+                   help="embedding-quality probe: on-device RFF ridge "
+                        "(default), exact kernel ridge, the faithful "
+                        "host sklearn SVC grid, or disabled")
     _add_common(p)
+    _add_sweep_common(p)
     p.set_defaults(fn=cmd_sweep_mmae)
 
     p = sub.add_parser("sweep-classification",
@@ -256,6 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="matmul-operand dtype for phase-2 training "
                         "(accumulation and storage stay float32)")
     _add_common(p)
+    _add_sweep_common(p)
     p.set_defaults(fn=cmd_sweep_classification)
 
     p = sub.add_parser("baseline", help="comparison-baseline grid search")

@@ -637,7 +637,8 @@ class MMAEClassificationSweep:
                  verbose: bool = True, backend: str = "auto",
                  optimizer_state_dtype: str = "bfloat16",
                  share_phase1: bool = True,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 process_shard=None, save_best_params: bool = False):
         """``backend``: 'auto' trains both phases with the VMEM-resident
         Pallas kernel pipeline where the shape family allows
         (ops/train_kernel.supported_two_phase), the XLA grid trainer
@@ -653,12 +654,22 @@ class MMAEClassificationSweep:
         result distributions (RNG parity is distributional, PARITY.md)
         and cuts phase-1 compute ~16x.  False restores faithful
         independent retraining.  Sharing is skipped automatically on
-        multi-chip pallas meshes (grid_trainer.train_phase2_shared_sharded)."""
+        multi-chip pallas meshes (grid_trainer.train_phase2_shared_sharded).
+        ``process_shard``: optional (process_index, process_count) for
+        multi-host DCN scale-out — this host sweeps only its round-robin
+        slice of the 576-setting grid and writes a shard ledger
+        (parallel/multihost.py); phase-1 sharing dedups WITHIN the slice.
+        ``save_best_params``: checkpoint the best setting's fold-0
+        two-phase parameters (MMAE stack + classifier head) at the end of
+        the sweep, consumable by ``cli.py fill/embed --checkpoint``."""
         from multimodalautoencoder_tpu.utils.cache import \
             enable_persistent_cache
         enable_persistent_cache()
         self.backend = backend
         self.share_phase1 = share_phase1
+        self.process_shard = process_shard
+        self.save_best_params = save_best_params
+        self._best_saved = None   # (score, setting, host params, cfg)
         self._families: Dict[tuple, dict] = {}
         # per-phase wall-clock accumulated across buckets ('train' =
         # both training phases + prediction materialization; 'metrics' =
@@ -733,6 +744,13 @@ class MMAEClassificationSweep:
             "activation_func": list(activation_funcs),
         }  # autoencoder_classification_wrapper.py:127-140
         settings = grid_lib.trim_vae_tied(grid_lib.enumerate_grid(params))
+        if process_shard is not None:
+            # round-robin slice BEFORE family grouping: phase-1 sharing
+            # dedups within this host's slice only (each host pretrains
+            # the distinct families its own settings need)
+            from multimodalautoencoder_tpu.parallel import multihost
+            settings = multihost.partition_settings(
+                settings, process_shard[0], process_shard[1])
         self.list_of_param_settings = settings
         self.num_settings = len(settings)
 
@@ -740,6 +758,10 @@ class MMAEClassificationSweep:
             results_path, classifier_name,
             getattr(classification_data_loader, "filename", "data.csv"),
             wanted_label=wanted_label, replace=cont)
+        if process_shard is not None:
+            from multimodalautoencoder_tpu.parallel import multihost
+            prefix = multihost.shard_ledger_path(
+                results_path, prefix, process_shard[0], process_shard[1])
         self.ledger = engine.ResultsLedger(
             results_path, prefix, cont=cont,
             save_every_nth=save_results_every_nth)
@@ -960,7 +982,41 @@ class MMAEClassificationSweep:
                 "losses": losses, "p1_map": p1_map,
                 "family": (self._family_key(bucket[0])
                            if fam is not None else None),
+                # two-phase params held on device only when the sweep
+                # will checkpoint the winner (extends their HBM lifetime
+                # by one pipeline stage)
+                "params": params if self.save_best_params else None,
                 "metrics": metrics_dev}
+
+    def _track_best(self, st, rows) -> None:
+        """Track the sweep-best setting's fold-0 TWO-PHASE parameters
+        (MMAE stack + classifier head) — the classification analog of
+        MMAESweep.save_best_params.  Winner by ``optimize_for``
+        (default val_acc, max); NaN scores never win."""
+        sign = 1.0 if self.min_or_max == "max" else -1.0
+        scores = np.asarray(
+            [sign * float(r.get(self.optimize_for, np.nan))
+             for r in rows], np.float64)
+        if np.all(np.isnan(scores)):
+            return
+        c_best = int(np.nanargmax(scores))
+        if (self._best_saved is not None
+                and not scores[c_best] > self._best_saved[0]):
+            return
+        # fold-0 slice only; pull to host (the tunnel's device->host
+        # path is slow, so only the winner crosses)
+        host = jax.tree_util.tree_map(
+            lambda a: np.asarray(a[c_best, 0]), st["params"])
+        setting = dict(st["bucket"][c_best])
+        cfg = self._cfg_for_bucket(setting).replace(
+            dropout_prob=float(setting.get("mmae_dropout_prob", 1.0)),
+            weight_penalty=float(setting.get("mmae_weight_penalty",
+                                             0.0)),
+            activation=setting.get("mmae_activation_function", "relu"),
+            classification_activation=setting.get("activation_func"),
+            classification_weight_penalty=float(
+                setting.get("weight_penalty", 0.0)))
+        self._best_saved = (float(scores[c_best]), setting, host, cfg)
 
     def _finalize_bucket(self, st, est, num_buckets: int) -> None:
         """Materialize one launched bucket's losses + metric tensors and
@@ -983,12 +1039,16 @@ class MMAEClassificationSweep:
         self.phase_seconds["metrics_wait"] += time.time() - t2
 
         bucket_secs = st["launch_secs"] + (time.time() - t1)
+        rows = []
         for c, setting in enumerate(bucket):
             row = dict(setting)
             row["val_mmae_loss"] = float(np.mean(losses[c]))
             row.update(metric_rows[c])
             row["time_per_setting_s"] = bucket_secs / len(bucket)
+            rows.append(row)
             self.ledger.append(row)
+        if self.save_best_params and st.get("params") is not None:
+            self._track_best(st, rows)
         est.record(bucket_secs, batch=len(bucket))
         if st.get("family") is not None:
             # all of this family's buckets launch before its last bucket
@@ -1041,6 +1101,16 @@ class MMAEClassificationSweep:
         if inflight is not None:
             self._finalize_bucket(inflight, est, len(buckets))
         self.ledger.flush()
+        if self.save_best_params and self._best_saved is not None:
+            from multimodalautoencoder_tpu.train import checkpoint as ck
+            score, setting, host_params, cfg = self._best_saved
+            path = ck.save_checkpoint(
+                os.path.dirname(self.ledger.path), "best_mmae_cls",
+                host_params, cfg, step=self.cls_tcfg.num_steps)
+            if self.verbose:
+                disp = score if self.min_or_max == "max" else -score
+                print(f"saved best two-phase params "
+                      f"({self.optimize_for} {disp:.4f}) -> {path}")
 
     def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:
         """Held-out test evaluation for a setting: retrain both phases on

@@ -110,3 +110,71 @@ def test_sweep_cli_rejects_z_score(csv_path):
     with pytest.raises(SystemExit, match="z_score"):
         cli.main(["sweep-classification", csv_path, csv_path,
                   "--normalization", "z_score"])
+
+
+def test_sweep_mmae_cli_flags_wired(csv_path, tmp_path, monkeypatch):
+    """--backend/--probe/--process-shard/--save-best-params reach the
+    MMAESweep constructor (the Python surface, wrappers.py)."""
+    captured = {}
+
+    class FakeSweep:
+        def __init__(self, *a, **kw):
+            captured.update(kw)
+
+        def run(self):
+            return ({}, None, {})
+
+    from multimodalautoencoder_tpu.sweep import wrappers
+    monkeypatch.setattr(wrappers, "MMAESweep", FakeSweep)
+    rc = cli.main(["sweep-mmae", csv_path, "--normalize-and-fill",
+                   "--backend", "xla", "--probe", "none",
+                   "--process-shard", "1", "4", "--save-best-params",
+                   "--results-path", str(tmp_path)])
+    assert rc == 0
+    assert captured["backend"] == "xla"
+    assert captured["probe"] is None
+    assert captured["process_shard"] == (1, 4)
+    assert captured["save_best_params"] is True
+
+
+def test_sweep_mmae_cli_probe_default(csv_path, tmp_path, monkeypatch):
+    captured = {}
+
+    class FakeSweep:
+        def __init__(self, *a, **kw):
+            captured.update(kw)
+
+        def run(self):
+            return ({}, None, {})
+
+    from multimodalautoencoder_tpu.sweep import wrappers
+    monkeypatch.setattr(wrappers, "MMAESweep", FakeSweep)
+    rc = cli.main(["sweep-mmae", csv_path, "--normalize-and-fill",
+                   "--results-path", str(tmp_path)])
+    assert rc == 0
+    assert captured["probe"] == "device"
+    assert captured["process_shard"] is None
+    assert captured["backend"] == "auto"
+
+
+def test_sweep_classification_cli_flags_wired(csv_path, tmp_path,
+                                              monkeypatch):
+    captured = {}
+
+    class FakeSweep:
+        def __init__(self, *a, **kw):
+            captured.update(kw)
+
+        def run(self):
+            return {}
+
+    from multimodalautoencoder_tpu.sweep import wrappers
+    monkeypatch.setattr(wrappers, "MMAEClassificationSweep", FakeSweep)
+    rc = cli.main(["sweep-classification", csv_path, csv_path,
+                   "--normalize-and-fill", "--backend", "pallas",
+                   "--process-shard", "0", "2", "--save-best-params",
+                   "--results-path", str(tmp_path)])
+    assert rc == 0
+    assert captured["backend"] == "pallas"
+    assert captured["process_shard"] == (0, 2)
+    assert captured["save_best_params"] is True

@@ -65,3 +65,104 @@ def test_save_best_params(unsup, tmp_path):
                                   jnp.asarray(unsup.val_X[:4],
                                               jnp.float32))
     assert np.isfinite(float(loss))
+
+
+# -- classification sweep: multi-host sharding + best-params export ------
+
+@pytest.fixture(scope="module")
+def cls_loaders(tmp_path_factory):
+    path = synthetic.write_csv(
+        str(tmp_path_factory.mktemp("c") / "cls.csv"), num_rows=220,
+        seed=9, label_names=("happy_label", "health_label"))
+    unsup = DataLoader(path, supervised=False, cross_validation=True,
+                       suppress_output=True, normalize_and_fill=True,
+                       fill_gaps_with=-1.0)
+    sup = DataLoader(path, supervised=True, cross_validation=True,
+                     suppress_output=True, normalize_and_fill=True,
+                     fill_gaps_with=-1.0)
+    return unsup, sup
+
+
+def cls_sweep_kwargs(tmp_path):
+    return dict(mmae_layer_sizes=[[12, 6]],
+                classification_layer_sizes=[[8], [6, 4]],
+                tie_weights=[True], mmae_dropout_probs=[1.0],
+                mmae_weight_penalties=[0.0],
+                mmae_activation_funcs=["relu"],
+                mmae_test_variational=[False], weight_penalties=[0.0],
+                dropout_probs=[1.0, 0.5], activation_funcs=["relu"],
+                mmae_num_steps=30, classification_num_steps=30,
+                results_path=str(tmp_path), num_cross_folds=2,
+                verbose=False)
+
+
+def _setting_key(row):
+    return (str(row["mmae_architecture"]),
+            str(row["classification_layers"]), float(row["dropout_prob"]))
+
+
+def test_cls_process_sharded_sweep_and_merge(cls_loaders, tmp_path):
+    """Each host sweeps its round-robin slice of the classification grid
+    (phase-1 sharing dedups within the slice) and the merged shard
+    ledgers cover exactly the unsharded sweep's settings set — the
+    two-host story for the reference's 576-setting job
+    (autoencoder_classification_wrapper.py:37-48)."""
+    unsup, sup = cls_loaders
+    full = wrappers.MMAEClassificationSweep(
+        unsup, sup, **cls_sweep_kwargs(tmp_path / "full"))
+    assert full.num_settings == 4
+
+    shard_sizes = []
+    for pi in range(2):
+        s = wrappers.MMAEClassificationSweep(
+            unsup, sup, process_shard=(pi, 2),
+            **cls_sweep_kwargs(tmp_path / "sh"))
+        shard_sizes.append(s.num_settings)
+        s.sweep_all_parameters()
+        assert f"shard{pi}of2" in s.ledger.path
+    assert sum(shard_sizes) == full.num_settings
+
+    prefix = os.path.basename(s.ledger.path).split(".shard")[0]
+    out = multihost.merge_ledger_shards(str(tmp_path / "sh"), prefix)
+    df = pd.read_csv(out, index_col=0)
+    assert len(df) == full.num_settings
+    merged_keys = {_setting_key(r) for _, r in df.iterrows()}
+    full_keys = {(str(s["mmae_architecture"]),
+                  str(s["classification_layers"]),
+                  float(s["dropout_prob"]))
+                 for s in full.list_of_param_settings}
+    assert merged_keys == full_keys
+    assert df["val_acc"].between(0, 1).all()
+
+
+def test_cls_save_best_params(cls_loaders, tmp_path):
+    """The classification sweep exports its winner's fold-0 two-phase
+    params; the checkpoint round-trips into a model that classifies
+    (head included) — so cli fill/embed can consume the sweep winner."""
+    unsup, sup = cls_loaders
+    s = wrappers.MMAEClassificationSweep(
+        unsup, sup, save_best_params=True,
+        **cls_sweep_kwargs(tmp_path))
+    s.sweep_all_parameters()
+    ckpts = [f for f in os.listdir(tmp_path)
+             if f.startswith("best_mmae_cls")]
+    assert len(ckpts) == 1
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+    from multimodalautoencoder_tpu.train import trainer
+
+    params, cfg, _, _ = ck.load_checkpoint_auto(
+        os.path.join(tmp_path, ckpts[0]),
+        MMAEConfig(num_feats=unsup.num_feats), verbose=False)
+    assert cfg.classification_layer_sizes is not None
+    import jax.numpy as jnp
+    x = jnp.asarray(sup.val_X[:6], jnp.float32)
+    recon, loss = trainer.predict(params, cfg, x)
+    assert np.isfinite(float(loss))
+    preds = trainer.classification_predictions(params, cfg, x)
+    assert np.asarray(preds).shape[0] == 6
+    # the saved winner matches the ledger's best row
+    best = s.ledger.find_best_setting("val_acc", "max")
+    assert (str(s._best_saved[1]["classification_layers"])
+            == str(best["classification_layers"]))
