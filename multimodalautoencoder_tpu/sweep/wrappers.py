@@ -729,20 +729,11 @@ class MMAEClassificationSweep:
             record_every_nth=max(classification_num_steps // 10, 1),
             seed=seed, optimizer_state_dtype=optimizer_state_dtype)
 
-        params = {
-            "mmae_architecture": [list(a) for a in mmae_layer_sizes],
-            "classification_layers": [list(a) for a in
-                                      classification_layer_sizes],
-            "tie_weights": list(tie_weights),
-            "mmae_dropout_prob": list(mmae_dropout_probs),
-            "mmae_weight_penalty": list(mmae_weight_penalties),
-            "weight_initialization": list(weight_initializers),
-            "mmae_activation_function": list(mmae_activation_funcs),
-            "variational": list(mmae_test_variational),
-            "weight_penalty": list(weight_penalties),
-            "dropout_prob": list(dropout_probs),
-            "activation_func": list(activation_funcs),
-        }  # autoencoder_classification_wrapper.py:127-140
+        params = self._grid_params(
+            mmae_layer_sizes, classification_layer_sizes, tie_weights,
+            mmae_dropout_probs, mmae_weight_penalties, weight_initializers,
+            mmae_activation_funcs, mmae_test_variational, weight_penalties,
+            dropout_probs, activation_funcs)
         settings = grid_lib.trim_vae_tied(grid_lib.enumerate_grid(params))
         if process_shard is not None:
             # round-robin slice BEFORE family grouping: phase-1 sharing
@@ -775,6 +766,53 @@ class MMAEClassificationSweep:
             noisy_flags=check_noisy_data)
         self.labels = (classification_data_loader.wanted_labels
                        or [wanted_label])
+
+    @staticmethod
+    def _grid_params(mmae_layer_sizes, classification_layer_sizes,
+                     tie_weights, mmae_dropout_probs, mmae_weight_penalties,
+                     weight_initializers, mmae_activation_funcs,
+                     mmae_test_variational, weight_penalties, dropout_probs,
+                     activation_funcs) -> Dict[str, list]:
+        """The two-phase grid axes
+        (autoencoder_classification_wrapper.py:127-140)."""
+        return {
+            "mmae_architecture": [list(a) for a in mmae_layer_sizes],
+            "classification_layers": [list(a) for a in
+                                      classification_layer_sizes],
+            "tie_weights": list(tie_weights),
+            "mmae_dropout_prob": list(mmae_dropout_probs),
+            "mmae_weight_penalty": list(mmae_weight_penalties),
+            "weight_initialization": list(weight_initializers),
+            "mmae_activation_function": list(mmae_activation_funcs),
+            "variational": list(mmae_test_variational),
+            "weight_penalty": list(weight_penalties),
+            "dropout_prob": list(dropout_probs),
+            "activation_func": list(activation_funcs),
+        }
+
+    @classmethod
+    def default_grid(cls):
+        """The reference's default 576-setting grid plus its training
+        constants, derived from THIS constructor's defaults — the single
+        source of truth for tools that reason about the full job (e.g.
+        utilization_report --reconcile-cls) without building loaders.
+        Returns (settings, num_cross_folds, mmae_num_steps,
+        classification_num_steps)."""
+        import inspect
+
+        d = {k: p.default
+             for k, p in inspect.signature(cls.__init__).parameters.items()
+             if p.default is not inspect.Parameter.empty}
+        params = cls._grid_params(
+            d["mmae_layer_sizes"], d["classification_layer_sizes"],
+            d["tie_weights"], d["mmae_dropout_probs"],
+            d["mmae_weight_penalties"], d["weight_initializers"],
+            d["mmae_activation_funcs"], d["mmae_test_variational"],
+            d["weight_penalties"], d["dropout_probs"],
+            d["activation_funcs"])
+        settings = grid_lib.trim_vae_tied(grid_lib.enumerate_grid(params))
+        return (settings, d["num_cross_folds"], d["mmae_num_steps"],
+                d["classification_num_steps"])
 
     def _cfg_for_bucket(self, setting: Dict[str, Any]) -> MMAEConfig:
         return self.base_cfg.replace(

@@ -99,7 +99,10 @@ def train_step_hbm_bytes(cfg: MMAEConfig, tcfg: TrainConfig,
         return float(n_elems * (2 * 4 + 4 * state_b)
                      + B * tk._pad_to(F, tk.LANE) * 4)
 
-    panels = B * tk.SUB * tk._pad_to(F, tk.LANE) * 4
+    # one (SUB, Fp) panel DMA per PADDED batch row (Bp = _pad_to(B, SUB)
+    # copies, train_kernel.py step_fn) — the real-DMA convention, same
+    # as cls_train_step_hbm_bytes below
+    panels = tk._pad_to(B, tk.SUB) * tk.SUB * tk._pad_to(F, tk.LANE) * 4
     streamed = 0.0
     if tk.needs_streaming(cfg, tcfg):
         Fp = tk._pad_to(F, tk.LANE)
@@ -122,7 +125,7 @@ def cls_train_step_hbm_bytes(cfg: MMAEConfig,
 
     This is the number behind the README's phase-2 roofline rows: at
     the measured 30.7k inst-steps/s the 1000-wide streamed shape moves
-    ~12.1 MB/step = ~371 GB/s, i.e. ~93% of the chip's measured
+    ~12.2 MB/step = ~375 GB/s, i.e. ~94% of the chip's measured
     achievable mixed-R/W DMA bandwidth (~400 GB/s, tools/hbm_bench.py)
     — phase 2 at 1000-wide is DMA-bound, not MXU-bound, which is why
     bf16 matmul operands measured as a null lever there.
@@ -130,11 +133,15 @@ def cls_train_step_hbm_bytes(cfg: MMAEConfig,
     from multimodalautoencoder_tpu.ops import train_kernel as tk
 
     cfg = cfg.validate()
-    B = cls_tcfg.batch_size
+    # the kernel issues one (SUB, Fp+Lp) panel DMA per PADDED batch row
+    # (Bp = _pad_to(B, SUB) copies, train_kernel.py step_fn) — count the
+    # padded panels like the padded lane widths, so the whole expression
+    # follows the real-DMA convention
+    Bp = tk._pad_to(cls_tcfg.batch_size, tk.SUB)
     Fp = tk._pad_to(cfg.num_feats, tk.LANE)
     Lp = tk._pad_to(cfg.num_labels, tk.LANE)
     state_b = 2 if cls_tcfg.optimizer_state_dtype == "bfloat16" else 4
-    panels = B * tk.SUB * (Fp + Lp) * 4
+    panels = Bp * tk.SUB * (Fp + Lp) * 4
     streamed = 0.0
     if tk.needs_cls_streaming(cfg, cls_tcfg):
         H1p = tk._pad_to(cfg.layer_sizes[0], tk.LANE)

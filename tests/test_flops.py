@@ -74,15 +74,17 @@ def test_cls_hbm_bytes_match_streaming_gate():
 
     assert tk.needs_cls_streaming(c(1000), CLS_TCFG)
     big = flops.cls_train_step_hbm_bytes(c(1000), CLS_TCFG)
-    # panels + m/v stream: 100*8*(1024+128)*4 + 2*2*1024*1024*2
-    assert big == 100 * 8 * (1024 + 128) * 4 + 4 * 1024 * 1024 * 2
+    # panels + m/v stream: the kernel issues one (8, Fp+Lp) panel DMA
+    # per PADDED batch row (Bp = pad(100, 8) = 104), so
+    # 104*8*(1024+128)*4 + 2*2*1024*1024*2
+    assert big == 104 * 8 * (1024 + 128) * 4 + 4 * 1024 * 1024 * 2
     # measured rate x bytes/step lands at the ~400 GB/s DMA wall
     assert 0.85 < (big * 30_700 / 400e9) < 1.05
     for w in (500, 300, 200):
         assert not tk.needs_cls_streaming(c(w), CLS_TCFG)
         small = flops.cls_train_step_hbm_bytes(c(w), CLS_TCFG)
         Fp = tk._pad_to(w, tk.LANE)
-        assert small == 100 * 8 * (Fp + 128) * 4
+        assert small == 104 * 8 * (Fp + 128) * 4
     # f32 moments double the streamed component only
     import dataclasses
 
@@ -119,6 +121,10 @@ def test_reconcile_cls_report(capsys):
     for w in (1000, 500, 200):
         assert f"phase-2 {w}-wide" in out
     assert "expected wall" in out
+    # grid constants are DERIVED from the sweep's own settings builder
+    # (MMAEClassificationSweep.default_grid), and match the reference's
+    # 576-setting job
+    assert "576 settings in 36 buckets, 36 distinct" in out
     floor = sum(
         12 * 16 * 5 * 15000
         / ur.CLS_RECORDED_RATES[f"phase-2 tied {w}x100 +50x20 head (f32)"]

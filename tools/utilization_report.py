@@ -94,6 +94,9 @@ def _cls_cfg_for(name: str):
     from multimodalautoencoder_tpu.config import MMAEConfig
 
     m = re.search(r"(\d+)x(\d+)", name)
+    if m is None:
+        raise ValueError(f"cannot parse an NxM architecture token from "
+                         f"rate name {name!r}")
     arch = (int(m.group(1)), int(m.group(2)))
     return MMAEConfig(num_feats=arch[0], layer_sizes=arch,
                       tie_weights=True, loss="sigmoid_cross_entropy",
@@ -155,41 +158,64 @@ def _reconcile_cls() -> None:
     in the bench's phase attribution is queue blocking behind phase-2
     programs, not metric compute (CLAUDE.md tunnel-queue semantics).
 
-    Grid (reference autoencoder_classification_wrapper.py:37-48): 36
-    buckets = 9 phase-1 families (3 widths x tied/untied-DAE/untied-VAE)
-    x 4 heads; 16 settings x 5 folds x 15000 steps each; shared phase 1
-    trains 4 unique MMAE settings per family.  Caveat: rates were
-    measured on tied encoders with the (50,20) head at 60 instances;
-    head-size and VAE-encoder variation across the grid is a few-percent
-    effect on the phase-2 term.
+    Grid constants (buckets per width, settings per bucket, folds,
+    steps, distinct shared-phase-1 pretrains) are DERIVED from
+    ``MMAEClassificationSweep.default_grid()`` — the same settings
+    builder the sweep itself runs (reference grid: 576 settings in 36
+    buckets, autoencoder_classification_wrapper.py:37-48) — so this
+    report cannot silently diverge from the job definition.  Caveat:
+    rates were measured on tied encoders with the (50,20) head at 60
+    instances; head-size and VAE-encoder variation across the grid is a
+    few-percent effect on the phase-2 term.
     """
     import json
     import os
 
-    widths = (1000, 500, 200)
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+    from multimodalautoencoder_tpu.sweep.wrappers import \
+        MMAEClassificationSweep as MCS
+
+    settings, folds, p1_steps, p2_steps = MCS.default_grid()
+    buckets = grid_lib.bucket_settings(settings)
+    per_width: dict = {}
+    for _, b in buckets:
+        w = int(b[0]["mmae_architecture"][0])
+        n_b, n_s = per_width.get(w, (0, 0))
+        per_width[w] = (n_b + 1, n_s + len(b))
+    pretrains = {(MCS._family_key(s), MCS._p1_key(MCS._mmae_subsetting(s)))
+                 for s in settings}
+    print(f"grid: {len(settings)} settings in {len(buckets)} buckets, "
+          f"{len(pretrains)} distinct shared-phase-1 pretrains "
+          f"(derived from MMAEClassificationSweep defaults)")
+
+    widths = sorted(per_width, reverse=True)
     p2_rates = {w: CLS_RECORDED_RATES.get(
         f"phase-2 tied {w}x100 +50x20 head (f32)") for w in widths}
     print("| term | inst-steps | rate (inst-steps/s) | expected s |")
     print("|---|---|---|---|")
     total = 0.0
     for w in widths:
-        inst = 12 * 16 * 5 * 15000          # 12 buckets per width
+        n_b, n_s = per_width[w]
+        inst = n_s * folds * p2_steps
         r = p2_rates[w]
         if r is None:
             print(f"| phase-2 {w}-wide | {inst / 1e6:.1f}M | UNMEASURED | ? |")
             continue
         s = inst / r
         total += s
-        print(f"| phase-2 {w}-wide (12 buckets) | {inst / 1e6:.1f}M "
+        print(f"| phase-2 {w}-wide ({n_b} buckets) | {inst / 1e6:.1f}M "
               f"| {r / 1000:.1f}k | {s:.0f} |")
-    p1_inst = 9 * 4 * 5 * 15000             # shared phase 1, 36 pretrains
+    p1_inst = len(pretrains) * folds * p1_steps
     fast, slow = max(RECORDED_RATES.values()), min(RECORDED_RATES.values())
-    print(f"| phase-1 shared (36 pretrains) | {p1_inst / 1e6:.1f}M "
+    print(f"| phase-1 shared ({len(pretrains)} pretrains) "
+          f"| {p1_inst / 1e6:.1f}M "
           f"| {slow / 1000:.0f}k-{fast / 1000:.0f}k "
           f"| {p1_inst / fast:.0f}-{p1_inst / slow:.0f} |")
-    print(f"| dispatch (~2/bucket x 36 @ ~1 s) | - | - | ~72 |")
+    dispatch = 2 * len(buckets)
+    print(f"| dispatch (~2/bucket x {len(buckets)} @ ~1 s) | - | - "
+          f"| ~{dispatch} |")
     lo = total + p1_inst / fast
-    hi = total + p1_inst / slow + 72
+    hi = total + p1_inst / slow + dispatch
     bench_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_classification_r03.json")
     wall = None
@@ -230,8 +256,11 @@ def main():
     tcfg = TrainConfig(learning_rate=1e-3, batch_size=20, num_steps=15000,
                        clip_gradients=False,
                        optimizer_state_dtype="bfloat16")
-    print("| bucket | inst-steps/s | useful GFLOP/s | % f32 peak "
-          "| HBM GB/s | % HBM peak |")
+    # "% MXU peak (own dtype)": each row's FLOPs divide by ITS
+    # matmul-operand dtype's MXU peak — phase-1 buckets and phase-2
+    # (f32) rows by the f32 peak, phase-2 (bf16) rows by the bf16 peak
+    print("| bucket | inst-steps/s | useful GFLOP/s | % MXU peak "
+          "(own dtype) | HBM GB/s | % HBM peak |")
     print("|---|---|---|---|---|---|")
     for name, rate in RECORDED_RATES.items():
         if args.measure:
@@ -265,7 +294,7 @@ def main():
         # — that shape is DMA-bound, the smaller (non-streamed) shapes
         # are bound by per-panel DMA latency of the batch sampling
         print(f"| {name} | {rate / 1000:.1f}k | {gfs:.0f} "
-              f"| {100.0 * gfs * 1e9 / peak:.1f}% (of own-dtype peak) "
+              f"| {100.0 * gfs * 1e9 / peak:.1f}% "
               f"| {hbm_s / 1e9:.0f} "
               f"| {100.0 * hbm_s / flops.V5E_PEAK_HBM_BYTES:.1f}% |")
 
