@@ -110,41 +110,148 @@ def measure_probe_agreement(num_steps: int = 600, folds: int = 2,
                       test_variational=test_variational, backend=backend)
         df_svm = _run_sweep("svm", (unsup, sup), workdir, **kwargs)
         df_dev = _run_sweep("device", (unsup, sup), workdir, **kwargs)
+        return ranking_agreement(df_svm, df_dev)
+    finally:
+        if own_tmp:
+            import shutil
 
-        # join on the setting identity (ledgers write settings as
-        # strings); sweeps enumerate identically so order matches, but
-        # merge defensively anyway
-        key_cols = [c for c in SETTING_COLS if c in df_svm.columns]
-        a = df_svm.astype({c: str for c in key_cols})
-        b = df_dev.astype({c: str for c in key_cols})
-        merged = a.merge(b, on=key_cols, suffixes=("_svm", "_dev"))
-        assert len(merged) == len(df_svm) == len(df_dev), (
-            len(merged), len(df_svm), len(df_dev))
+            shutil.rmtree(workdir, ignore_errors=True)
 
-        out = {}
-        for col in PROBE_COLS:
-            s = merged[f"{col}_svm"].to_numpy(dtype=float)
-            d = merged[f"{col}_dev"].to_numpy(dtype=float)
-            # ranks: 0 = best (max score)
-            svm_order = np.argsort(-s, kind="stable")
-            dev_order = np.argsort(-d, kind="stable")
-            svm_rank = np.empty(len(s), int)
-            svm_rank[svm_order] = np.arange(len(s))
-            dev_rank = np.empty(len(d), int)
-            dev_rank[dev_order] = np.arange(len(d))
-            best_svm = int(svm_order[0])
-            best_dev = int(dev_order[0])
-            out[col] = {
-                "spearman": spearman(s, d),
-                "n_settings": int(len(s)),
-                "best_svm_rank_in_device": int(dev_rank[best_svm]),
-                "best_device_rank_in_svm": int(svm_rank[best_dev]),
-                # svm-probe score lost by selecting the device winner
-                "winner_rel_gap": float(
-                    (s[best_svm] - s[best_dev])
-                    / max(abs(s[best_svm]), 1e-12)),
-            }
-        return out
+
+def ranking_agreement(df_svm, df_dev) -> Dict[str, dict]:
+    """Per-probe-column ranking agreement between two probe ledgers of
+    the same settings set (columns: SETTING_COLS + PROBE_COLS)."""
+    # join on the setting identity (ledgers write settings as strings);
+    # sweeps enumerate identically so order matches, but merge
+    # defensively anyway
+    key_cols = [c for c in SETTING_COLS if c in df_svm.columns]
+    a = df_svm.astype({c: str for c in key_cols})
+    b = df_dev.astype({c: str for c in key_cols})
+    merged = a.merge(b, on=key_cols, suffixes=("_svm", "_dev"))
+    assert len(merged) == len(df_svm) == len(df_dev), (
+        len(merged), len(df_svm), len(df_dev))
+
+    out = {}
+    for col in PROBE_COLS:
+        s = merged[f"{col}_svm"].to_numpy(dtype=float)
+        d = merged[f"{col}_dev"].to_numpy(dtype=float)
+        # ranks: 0 = best (max score)
+        svm_order = np.argsort(-s, kind="stable")
+        dev_order = np.argsort(-d, kind="stable")
+        svm_rank = np.empty(len(s), int)
+        svm_rank[svm_order] = np.arange(len(s))
+        dev_rank = np.empty(len(d), int)
+        dev_rank[dev_order] = np.arange(len(d))
+        best_svm = int(svm_order[0])
+        best_dev = int(dev_order[0])
+        out[col] = {
+            "spearman": spearman(s, d),
+            "n_settings": int(len(s)),
+            "best_svm_rank_in_device": int(dev_rank[best_svm]),
+            "best_device_rank_in_svm": int(svm_rank[best_dev]),
+            # svm-probe score lost by selecting the device winner
+            "winner_rel_gap": float(
+                (s[best_svm] - s[best_dev])
+                / max(abs(s[best_svm]), 1e-12)),
+        }
+    return out
+
+
+def measure_probe_agreement_at_scale(num_steps: int = 15000,
+                                     folds: int = 5, seed: int = 0,
+                                     backend: str = "auto",
+                                     workdir: Optional[str] = None,
+                                     num_rows: int = 2000
+                                     ) -> Dict[str, dict]:
+    """Probe agreement at REFERENCE scale: the real 108-setting grid
+    (archs (1000,100)/(500,100)/(300,100) + VAE augmentation,
+    autoencoder_wrapper.py:127-136) trained for the real 15000 steps on
+    the reference-scale dataset — each bucket trained ONCE and scored by
+    BOTH probes on the SAME trained parameters (cheaper and a strictly
+    tighter comparison than two full sweeps: any disagreement is pure
+    probe behavior, not training noise — with identical seeds two runs
+    train bitwise-identical params anyway).
+
+    Device cost: one full sweep's training (~2.5 min warm) + the device
+    probe.  Host cost: the faithful sklearn SVC grid — 108 settings x
+    ``folds`` x 3 labels x 6 (C, gamma) fits (~35 min).  Results are
+    recorded in PARITY.md; the artifact lives in PROBE_PARITY_r04.json.
+    """
+    import time
+
+    import jax
+    import pandas as pd
+
+    from multimodalautoencoder_tpu.data import synthetic
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+    from multimodalautoencoder_tpu.sweep.wrappers import MMAESweep
+
+    own_tmp = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="probe_parity_scale_")
+    try:
+        if num_rows != 2000:
+            path = synthetic.write_csv(
+                os.path.join(workdir, "acii.csv"), num_rows=num_rows,
+                seed=0,
+                modalities=(("call", 200), ("location", 200),
+                            ("screen", 200), ("sms", 200),
+                            ("survey", 200)),
+                label_names=("happiness_label", "health_label",
+                             "calmness_label"))
+            from multimodalautoencoder_tpu.data.loader import DataLoader
+            unsup = DataLoader(path, supervised=False,
+                               cross_validation=True, suppress_output=True,
+                               normalize_and_fill=True, fill_gaps_with=-1.0)
+            sup = DataLoader(path, supervised=True, cross_validation=True,
+                             suppress_output=True, normalize_and_fill=True,
+                             fill_gaps_with=-1.0)
+        else:
+            unsup, sup = synthetic.reference_scale_loaders(workdir)
+        sweep = MMAESweep(unsup, sup, probe="svm",
+                          results_path=os.path.join(workdir, "res"),
+                          num_steps=num_steps, num_cross_folds=folds,
+                          seed=seed, backend=backend, verbose=True)
+        # the svm ctor path built _cls_folds (host arrays); ALSO build the
+        # device probe's folded data so both probes can score each bucket
+        has_noisy = "logistics_noisy" in sweep.cls_loader.df.columns
+        sweep._cls_folded = gt.FoldedData.from_loader(
+            sweep.cls_loader, folds, supervised=True,
+            noisy_flags=has_noisy)
+
+        svm_rows_all, dev_rows_all, settings_all = [], [], []
+        buckets = grid_lib.bucket_settings(sweep.list_of_param_settings)
+        for bi, (key, bucket) in enumerate(buckets):
+            t0 = time.time()
+            cfg = sweep._cfg_for_bucket(bucket[0])
+            hyper = gt.HyperStack.from_settings(bucket, cfg, sweep.tcfg)
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), bi)
+            params, losses = gt.train_grid_sharded(
+                sweep.mesh, rng, cfg, sweep.tcfg, sweep.spec, hyper,
+                sweep.folded, backend=backend)
+            np.asarray(losses)          # materialize = trained
+            t1 = time.time()
+            dev = sweep._device_probe_launch(
+                params, cfg, hyper, len(bucket),
+                jax.random.fold_in(jax.random.PRNGKey(seed + 23), bi))
+            dev_rows = sweep._device_probe_rows(np.asarray(dev),
+                                                len(bucket))
+            t2 = time.time()
+            svm_rows = sweep._svm_probe_bucket(params, cfg, hyper,
+                                               len(bucket))
+            print(f"bucket {bi + 1}/{len(buckets)} ({len(bucket)} cfg): "
+                  f"train {t1 - t0:.0f}s, device probe {t2 - t1:.0f}s, "
+                  f"svm probe {time.time() - t2:.0f}s", flush=True)
+            for c, s in enumerate(bucket):
+                settings_all.append(dict(s))
+                svm_rows_all.append(svm_rows[c])
+                dev_rows_all.append(dev_rows[c])
+
+        def frame(rows):
+            return pd.DataFrame([{**s, **r} for s, r in
+                                 zip(settings_all, rows)])
+
+        return ranking_agreement(frame(svm_rows_all), frame(dev_rows_all))
     finally:
         if own_tmp:
             import shutil
@@ -163,8 +270,25 @@ if __name__ == "__main__":
                     help="run on the real device (default: force CPU so "
                          "an experiment never time-slices the tunnel "
                          "chip against a benchmark)")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="the REFERENCE-scale measurement: real 108-"
+                         "setting grid, 15000 steps, 5 folds, 2000-row "
+                         "dataset, both probes on the same trained "
+                         "params (device ~3 min + host SVC grid "
+                         "~35 min)")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="also write the agreement JSON to this path")
     args = ap.parse_args()
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
-    agreement = measure_probe_agreement()
+    if args.at_scale:
+        agreement = measure_probe_agreement_at_scale(
+            num_steps=args.steps or 15000)
+    else:
+        agreement = measure_probe_agreement(
+            **({"num_steps": args.steps} if args.steps else {}))
     print(json.dumps(agreement, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(agreement, f, indent=2)
