@@ -195,11 +195,16 @@ def test_two_phase_kernel_learns(variational):
                            num_steps=1500, clip_gradients=False)
     spec = NoiseSpec.build(cfg, table)
     rng = np.random.default_rng(0)
-    X = rng.random((400, 30)).astype(np.float32)
-    # separable labels: feature-mean threshold per label
-    Y = np.stack([(X[:, :15].mean(1) > X[:, :15].mean()),
-                  (X[:, 15:].mean(1) > X[:, 15:].mean())],
-                 axis=1).astype(np.float32)
+    # Low-rank inputs: a 4-dim latent the 6-wide bottleneck can carry, so
+    # phase-2 accuracy measures the kernel pipeline, not how much label
+    # signal a lossy embedding of i.i.d. noise happens to keep (the old
+    # mean-threshold-on-uniform task sat at ~0.69 for the VAE variant —
+    # borderline by construction).  XLA-path CPU reference: 0.995 acc for
+    # both variants on this task.
+    Z = rng.standard_normal((400, 4)).astype(np.float32)
+    W = rng.standard_normal((4, 30)).astype(np.float32)
+    X = (np.tanh(Z @ W) * 0.5 + 0.5).astype(np.float32)
+    Y = np.stack([Z[:, 0] > 0, Z[:, 1] > 0], axis=1).astype(np.float32)
     unsup = gt.FoldedData.from_ragged([X[:300]], [X[300:]])
     sup = gt.FoldedData.from_ragged([X[:300]], [X[300:]], [Y[:300]],
                                     [Y[300:]])
@@ -220,7 +225,8 @@ def test_two_phase_kernel_learns(variational):
     assert np.isfinite(l1).all() and (l1 < l0).all()
     preds = np.asarray(preds)[0, 0]            # (val, 2)
     acc = (preds == Y[300:]).mean()
-    assert acc > 0.7, f"phase-2 accuracy {acc:.2f} not above chance"
+    assert acc > 0.85, f"phase-2 accuracy {acc:.2f} too far below the " \
+                       f"0.995 XLA-path reference on this task"
 
 
 @requires_tpu
