@@ -470,45 +470,54 @@ class MultimodalAutoencoder:
             if path is None:
                 raise FileNotFoundError(
                     f"no checkpoint found in {directory}")
-        params, cfg, curves, _ = ckpt_lib.load_checkpoint_auto(
-            path, self.cfg, verbose=self.verbose)
-        self.cfg = cfg
-        # the corruption spec derives from cfg (noise knobs, mask value):
-        # rebuild it so post-load training/noisy evals corrupt batches
-        # with the LOADED settings, not the constructor's
-        self.spec = NoiseSpec.build(self.cfg,
-                                    self.data_loader.modality_table)
-        # restore optimizer slots + step + RNG like the reference's
-        # saver.restore over ALL variables (:855-859), so a resumed run
-        # continues step-exactly.  Structure/shape mismatch (older
-        # checkpoint, different optimizer, saved hyperparameters won)
-        # falls back to fresh slots around the loaded params.
-        self.state = self._restore_train_state(
-            path, "opt", params, self.tcfg, self.state.rng)
-        self._cls_state = None
-        if "cls_opt" in ckpt_lib.saved_state_names(path):
-            self._cls_state = self._restore_train_state(
-                path, "cls_opt", params, self.classification_tcfg,
-                jax.random.PRNGKey(self.seed + 3))
+        # one reader = one npz open/parse for the whole restore (params,
+        # curves, and both optimizer states share the handle)
+        with ckpt_lib.CheckpointReader(path) as reader:
+            params, cfg, curves, _ = reader.load_auto(
+                self.cfg, verbose=self.verbose)
+            self.cfg = cfg
+            # the corruption spec derives from cfg (noise knobs, mask
+            # value): rebuild it so post-load training/noisy evals corrupt
+            # batches with the LOADED settings, not the constructor's
+            self.spec = NoiseSpec.build(self.cfg,
+                                        self.data_loader.modality_table)
+            # restore optimizer slots + step + RNG like the reference's
+            # saver.restore over ALL variables (:855-859), so a resumed
+            # run continues step-exactly.  Structure/shape mismatch (older
+            # checkpoint, different optimizer, saved hyperparameters won)
+            # falls back to fresh slots around the loaded params.
+            self.state = self._restore_train_state(
+                reader, "opt", params, self.tcfg, self.state.rng)
+            self._cls_state = None
+            if "cls_opt" in reader.state_names():
+                self._cls_state = self._restore_train_state(
+                    reader, "cls_opt", params, self.classification_tcfg,
+                    jax.random.PRNGKey(self.seed + 3))
         self.train_loss = list(curves.get("train_loss", []))
         self.val_loss = list(curves.get("val_loss", []))
 
-    def _restore_train_state(self, path: str, name: str, params,
+    def _restore_train_state(self, reader, name: str, params,
                              tcfg, fallback_rng) -> trainer.TrainState:
         """TrainState from a checkpoint's saved optimizer state, or a
-        fresh one around ``params`` when absent/mismatched."""
-        fresh = trainer.state_for_params(params, tcfg, fallback_rng)
-        template = (fresh.opt_state, fresh.step, fresh.rng)
+        fresh one around ``params`` when absent/mismatched.  The restore
+        template is built abstractly (``jax.eval_shape``) so a successful
+        restore allocates no throwaway device slot arrays — each
+        dispatch through the axon tunnel costs ~1 s, and the big
+        architectures' Adam moments are tens of MB."""
+        abstract = jax.eval_shape(
+            lambda p, r: trainer.state_for_params(p, tcfg, r),
+            params, fallback_rng)
+        template = (abstract.opt_state, abstract.step, abstract.rng)
         try:
-            restored = ckpt_lib.restore_state(path, name, template,
-                                              expect_tag=tcfg.optimizer)
+            restored = reader.restore_state(name, template,
+                                            expect_tag=tcfg.optimizer)
         except ValueError as e:
             if self.verbose:
                 print(f"WARNING! could not restore saved {name} state "
                       f"({e}); optimizer starts fresh.")
             restored = None
         if restored is None:
-            return fresh
+            return trainer.state_for_params(params, tcfg, fallback_rng)
         opt_state, step, rng = restored
         return trainer.TrainState(params=params, opt_state=opt_state,
                                   step=jnp.asarray(step),

@@ -263,6 +263,28 @@ def cmd_jobs(args) -> int:
     return 0 if all(r.status != jobs.ERROR for r in results) else 1
 
 
+def cmd_merge_shards(args) -> int:
+    """Host-0 post-pass for a --process-shard run: merge the per-host
+    ledger shards into one results CSV (parallel/multihost.py) and, when
+    the hosts exported slice winners, name the cross-host best
+    checkpoint."""
+    from multimodalautoencoder_tpu.parallel import multihost
+
+    out = multihost.merge_ledger_shards(args.results_path, args.prefix,
+                                        num_shards=args.num_shards)
+    print("merged ledger:", out)
+    if args.best_checkpoint:
+        try:
+            win = multihost.select_global_best_checkpoint(
+                args.results_path, args.best_checkpoint,
+                num_shards=args.num_shards)
+            print("global best checkpoint:", win)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"no global best checkpoint: {e}")
+            return 1
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="multimodalautoencoder_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -337,6 +359,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("job_file")
     p.add_argument("--min-seconds", type=float, default=600)
     p.set_defaults(fn=cmd_jobs)
+
+    p = sub.add_parser("merge-shards",
+                       help="merge --process-shard ledger shards (and "
+                            "name the cross-host best checkpoint)")
+    p.add_argument("results_path")
+    p.add_argument("prefix",
+                   help="ledger prefix, e.g. 'MMAE-acii' (the CSV name "
+                        "without .shardIofN.csv)")
+    p.add_argument("--num-shards", type=int, default=None,
+                   help="shard generation (the ofN suffix); default: "
+                        "the most recently written one")
+    p.add_argument("--best-checkpoint", default=None,
+                   metavar="NAME",
+                   help="also pick the cross-host winner among "
+                        "NAME.shardIofN-*.npz exports (e.g. 'best_mmae' "
+                        "or 'best_mmae_cls')")
+    p.set_defaults(fn=cmd_merge_shards)
     return ap
 
 

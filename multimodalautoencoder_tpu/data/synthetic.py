@@ -103,20 +103,23 @@ def write_csv(path: str, **kwargs) -> str:
     return path
 
 
-def reference_scale_loaders(workdir: str):
+def reference_scale_loaders(workdir: str, num_rows: int = 2000,
+                            seed: int = 0):
     """The benchmark dataset both perf harnesses share: a
     reference-scale synthetic study (1000 features over the 5 wearable
     modalities, ~2000 rows, the 3 mood labels — autoencoder_wrapper.py
     :25, :127-136 scale) written to ``workdir`` and wrapped in the
     unsupervised + supervised DataLoaders the sweeps take.  Lives here
     so bench.py and bench_classification.py cannot drift apart in what
-    "reference scale" means."""
+    "reference scale" means.  ``num_rows``/``seed`` let smaller
+    harnesses (e.g. probe-parity dry runs) shrink or reseed the study
+    without re-specifying the modality/label schema."""
     import os
 
     from multimodalautoencoder_tpu.data.loader import DataLoader
 
     path = write_csv(
-        os.path.join(workdir, "acii.csv"), num_rows=2000, seed=0,
+        os.path.join(workdir, "acii.csv"), num_rows=num_rows, seed=seed,
         modalities=(("call", 200), ("location", 200), ("screen", 200),
                     ("sms", 200), ("survey", 200)),
         label_names=("happiness_label", "health_label",

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 
@@ -87,8 +88,19 @@ def partition_settings(settings: Sequence[Dict[str, Any]],
                        ) -> List[Dict[str, Any]]:
     """Deterministic round-robin slice of the settings list.  Round-robin
     (not contiguous chunks) so shape buckets spread evenly across hosts
-    and no host ends up with all the big architectures."""
-    if process_count <= 1:
+    and no host ends up with all the big architectures.
+
+    Raises on an out-of-range index instead of silently returning an
+    empty slice — a 1-based host number (e.g. ``(2, 2)``) would otherwise
+    train nothing, write an empty shard ledger, and surface only hours
+    later as a crashed best-setting selection or an incomplete merge."""
+    if process_count < 1:
+        raise ValueError(f"process_count must be >= 1, got {process_count}")
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index must be in [0, {process_count}) — indices are "
+            f"0-based — got {process_index}")
+    if process_count == 1:
         return list(settings)
     return [s for i, s in enumerate(settings)
             if i % process_count == process_index]
@@ -143,3 +155,50 @@ def merge_ledger_shards(results_path: str, save_prefix: str,
     out = os.path.join(results_path, (out_name or save_prefix) + ".csv")
     merged.to_csv(out)
     return out
+
+
+def select_global_best_checkpoint(results_path: str, name: str,
+                                  num_shards: Optional[int] = None) -> str:
+    """Path of the cross-host winner among the shard-tagged
+    ``{name}.shard{i}of{N}-<step>.npz`` checkpoints that per-host
+    ``save_best_params`` exports wrote into a shared results dir — the
+    checkpoint analog of find_best_setting over the merged ledger
+    (generic_wrapper.py:317-347).  Each shard checkpoint's
+    ``meta['extra']`` carries its slice winner's score and the sweep's
+    ``min_or_max``; the best score wins.  ``num_shards`` selects the
+    generation like :func:`merge_ledger_shards`; default is the most
+    recently written one."""
+    import re
+
+    from multimodalautoencoder_tpu.train.checkpoint import checkpoint_meta
+
+    pat = re.compile(re.escape(name) + r"\.shard(\d+)of(\d+)-\d+\.npz$")
+    by_gen: Dict[int, list] = {}
+    for f in os.listdir(results_path):
+        m = pat.match(f)
+        if m:
+            by_gen.setdefault(int(m.group(2)), []).append(f)
+    if not by_gen:
+        raise FileNotFoundError(
+            f"no shard checkpoints for {name!r} in {results_path}")
+    if num_shards is None:
+        num_shards = max(
+            by_gen, key=lambda n: max(
+                os.path.getmtime(os.path.join(results_path, f))
+                for f in by_gen[n]))
+    best_path, best_signed = None, None
+    for f in by_gen[num_shards]:
+        path = os.path.join(results_path, f)
+        extra = checkpoint_meta(path).get("extra") or {}
+        score = extra.get("score")
+        if score is None or np.isnan(float(score)):
+            continue
+        sign = 1.0 if extra.get("min_or_max", "max") == "max" else -1.0
+        signed = sign * float(score)
+        if best_signed is None or signed > best_signed:
+            best_path, best_signed = path, signed
+    if best_path is None:
+        raise ValueError(
+            f"no shard checkpoint of {name!r} carries a comparable "
+            f"score in meta['extra'] (generation of{num_shards})")
+    return best_path

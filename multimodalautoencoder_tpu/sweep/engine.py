@@ -67,19 +67,19 @@ class ResultsLedger:
     def __len__(self) -> int:
         return len(self.df)
 
-    def already_done(self, setting: Dict[str, Any]) -> bool:
-        """True iff every (key, value) of ``setting`` matches some existing
-        row.  Lists compare by str (the CSV round-trip form,
+    def matching_rows(self, setting: Dict[str, Any]) -> pd.DataFrame:
+        """Rows where every (key, value) of ``setting`` matches.  Lists
+        compare by str (the CSV round-trip form,
         generic_wrapper.py:213-217); numbers compare NUMERICALLY like the
         reference's native ``==`` (:211) — a weight_penalty of int 0 must
         match the float-promoted column's '0.0' after a resume, or the
         sweep silently re-runs (and double-appends) every such setting."""
         mini = self.df
         if len(mini) == 0:
-            return False
+            return mini
         for key, val in setting.items():
             if key not in mini.columns:
-                return False
+                return mini.iloc[0:0]
             if isinstance(val, (list, tuple)):
                 mini = mini[mini[key].astype(str) == str(list(val))]
             elif val is None:
@@ -94,8 +94,20 @@ class ResultsLedger:
             else:
                 mini = mini[mini[key].astype(str) == str(val)]
             if len(mini) == 0:
-                return False
-        return True
+                return mini
+        return mini
+
+    def already_done(self, setting: Dict[str, Any]) -> bool:
+        """True iff ``setting``'s full parameter combination already
+        appears in the ledger (generic_wrapper.py:205-221)."""
+        return len(self.matching_rows(setting)) > 0
+
+    def lookup(self, setting: Dict[str, Any]):
+        """First ledger row matching ``setting``, or None — lets a
+        resumed sweep read the recorded score of an already-done
+        setting."""
+        rows = self.matching_rows(setting)
+        return rows.iloc[0] if len(rows) else None
 
     def append(self, row: Dict[str, Any]) -> None:
         row = {k: (str(list(v)) if isinstance(v, (list, tuple)) else v)

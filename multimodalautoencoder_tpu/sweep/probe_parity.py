@@ -190,24 +190,8 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
     own_tmp = workdir is None
     workdir = workdir or tempfile.mkdtemp(prefix="probe_parity_scale_")
     try:
-        if num_rows != 2000:
-            path = synthetic.write_csv(
-                os.path.join(workdir, "acii.csv"), num_rows=num_rows,
-                seed=0,
-                modalities=(("call", 200), ("location", 200),
-                            ("screen", 200), ("sms", 200),
-                            ("survey", 200)),
-                label_names=("happiness_label", "health_label",
-                             "calmness_label"))
-            from multimodalautoencoder_tpu.data.loader import DataLoader
-            unsup = DataLoader(path, supervised=False,
-                               cross_validation=True, suppress_output=True,
-                               normalize_and_fill=True, fill_gaps_with=-1.0)
-            sup = DataLoader(path, supervised=True, cross_validation=True,
-                             suppress_output=True, normalize_and_fill=True,
-                             fill_gaps_with=-1.0)
-        else:
-            unsup, sup = synthetic.reference_scale_loaders(workdir)
+        unsup, sup = synthetic.reference_scale_loaders(
+            workdir, num_rows=num_rows, seed=seed)
         sweep = MMAESweep(unsup, sup, probe="svm",
                           results_path=os.path.join(workdir, "res"),
                           num_steps=num_steps, num_cross_folds=folds,

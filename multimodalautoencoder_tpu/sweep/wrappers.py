@@ -544,30 +544,94 @@ class MMAESweep:
         if inflight is not None:
             self._finalize_bucket(inflight, est, len(buckets))
         self.ledger.flush()
-        if self.save_best_params and self._best_saved is not None:
-            from multimodalautoencoder_tpu.train import checkpoint as ck
-            loss, setting, host_params, cfg = self._best_saved
-            path = ck.save_checkpoint(
-                os.path.dirname(self.ledger.path), "best_mmae",
-                host_params,
-                cfg.replace(
-                    dropout_prob=float(setting.get("dropout_prob", 1.0)),
-                    weight_penalty=float(setting.get("weight_penalty",
-                                                     0.0)),
-                    activation=setting.get("activation_function",
-                                           cfg.activation)),
-                step=self.tcfg.num_steps)
-            if self.verbose:
-                print(f"saved best params (loss {loss:.4f}) -> {path}")
+        if self.save_best_params:
+            self.export_best_params()
+
+    def _export_name(self) -> str:
+        """Winner-checkpoint name: shard-tagged under ``process_shard``
+        (parallel/multihost.shard_ledger_path convention) so concurrent
+        hosts writing into a shared results dir never overwrite each
+        other's slice winner."""
+        if self.process_shard is not None:
+            i, n = self.process_shard
+            return f"best_mmae.shard{i}of{n}"
+        return "best_mmae"
+
+    def _setting_from_row(self, row: Dict[str, Any]) -> Dict[str, Any]:
+        """The grid-setting subset of a ledger row (drops score/timing
+        columns), keyed by the sweep's own grid axes."""
+        keys = (set(self.list_of_param_settings[0])
+                if self.list_of_param_settings else set(row))
+        return {k: v for k, v in row.items() if k in keys}
+
+    def export_best_params(self) -> Optional[str]:
+        """Checkpoint the GLOBAL ledger winner's fold-0 params — the
+        persistence analog of the reference's save_model on the chosen
+        setting (multimodal_autoencoder.py:766-800).  The winner comes
+        from the LEDGER, not just this run's buckets: a resumed
+        (``cont=True``) sweep may owe its best score to a previous
+        generation whose params were never in this process — that
+        winner is retrained on fold 0 before export.  The checkpoint's
+        ``meta['extra']`` records the winning setting verbatim and its
+        score, so a multi-host run can pick the cross-host winner
+        afterwards (parallel/multihost.select_global_best_checkpoint).
+        Returns the checkpoint path (None on an empty ledger)."""
+        from multimodalautoencoder_tpu.train import checkpoint as ck
+
+        if len(self.ledger) == 0:
+            return None
+        best = self.ledger.find_best_setting(self.optimize_for,
+                                             self.min_or_max)
+        row = best.to_dict()
+        try:
+            ledger_score = float(row.get(self.optimize_for))
+        except (TypeError, ValueError):
+            ledger_score = float("nan")
+        # the in-flight tracker ranks by mean val loss (_finalize_bucket),
+        # so its params stand in for the ledger winner only when the
+        # sweep optimizes that same loss and the ledger's best is not
+        # strictly better (a resumed sweep's winner may predate this run)
+        use_tracked = (
+            self._best_saved is not None
+            and self.optimize_for == "val_" + self.loss_func
+            and self.min_or_max == "min"
+            # NaN comparisons are False, so a degraded all-NaN ledger
+            # column falls back to this run's tracked winner
+            and not ledger_score < self._best_saved[0])
+        if use_tracked:
+            score, setting, host_params, cfg = self._best_saved
+            cfg = cfg.replace(
+                dropout_prob=float(setting.get("dropout_prob", 1.0)),
+                weight_penalty=float(setting.get("weight_penalty", 0.0)),
+                activation=setting.get("activation_function",
+                                       cfg.activation))
+        else:
+            setting = self._setting_from_row(row)
+            state, cfg, _ = self._retrain_fold0(row)
+            host_params = jax.tree_util.tree_map(np.asarray, state.params)
+            score = ledger_score
+        path = ck.save_checkpoint(
+            os.path.dirname(self.ledger.path), self._export_name(),
+            host_params, cfg, step=self.tcfg.num_steps,
+            extra={"setting": setting, "score": score,
+                   "optimize_for": self.optimize_for,
+                   "min_or_max": self.min_or_max})
+        if self.verbose:
+            print(f"saved best params ({self.optimize_for} "
+                  f"{score:.4f}) -> {path}")
+        return path
 
     def find_best_setting(self, optimize_for=None, min_or_max=None):
         return self.ledger.find_best_setting(
             optimize_for or self.optimize_for,
             min_or_max or self.min_or_max)
 
-    def test_on_test(self, setting: Dict[str, Any]) -> float:
-        """Retrain the best setting on fold 0 and report test-set loss
-        (autoencoder_wrapper.py:364-376)."""
+    def _retrain_fold0(self, setting: Dict[str, Any]):
+        """Train ``setting`` from scratch on fold 0 (the reference's
+        single-setting retrain recipe, autoencoder_wrapper.py:364-376).
+        Returns (trained TrainState, resolved cfg, fold-0 device
+        arrays).  Shared by test_on_test and the resumed-winner export
+        path; accepts full ledger rows (extra columns ignored)."""
         from multimodalautoencoder_tpu.train import trainer
 
         setting = grid_lib.convert_param_dict_for_use(dict(setting))
@@ -584,6 +648,14 @@ class MMAESweep:
                                    tcfg)
         state, _ = trainer.train_jit(state, cfg, tcfg, self.spec,
                                      arr["train_x"], arr["val_x"])
+        return state, cfg, arr
+
+    def test_on_test(self, setting: Dict[str, Any]) -> float:
+        """Retrain the best setting on fold 0 and report test-set loss
+        (autoencoder_wrapper.py:364-376)."""
+        from multimodalautoencoder_tpu.train import trainer
+
+        state, cfg, arr = self._retrain_fold0(setting)
         _, loss = trainer.predict(state.params, cfg, arr["test_x"])
         return float(loss)
 
@@ -1139,32 +1211,89 @@ class MMAEClassificationSweep:
         if inflight is not None:
             self._finalize_bucket(inflight, est, len(buckets))
         self.ledger.flush()
-        if self.save_best_params and self._best_saved is not None:
-            from multimodalautoencoder_tpu.train import checkpoint as ck
-            score, setting, host_params, cfg = self._best_saved
-            path = ck.save_checkpoint(
-                os.path.dirname(self.ledger.path), "best_mmae_cls",
-                host_params, cfg, step=self.cls_tcfg.num_steps)
-            if self.verbose:
-                disp = score if self.min_or_max == "max" else -score
-                print(f"saved best two-phase params "
-                      f"({self.optimize_for} {disp:.4f}) -> {path}")
+        if self.save_best_params:
+            self.export_best_params()
 
-    def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:
-        """Held-out test evaluation for a setting: retrain both phases on
-        fold 0, predict the classification test set, full metric battery
-        with noisy/clean slices.
+    def _export_name(self) -> str:
+        """Winner-checkpoint name: shard-tagged under ``process_shard``
+        (parallel/multihost.shard_ledger_path convention) so concurrent
+        hosts writing into a shared results dir never overwrite each
+        other's slice winner."""
+        if self.process_shard is not None:
+            i, n = self.process_shard
+            return f"best_mmae_cls.shard{i}of{n}"
+        return "best_mmae_cls"
 
-        The reference's automated test path is broken (NameError at
-        autoencoder_classification_wrapper.py:369, undefined optimize_for
-        at generic_wrapper.py:358 — SURVEY §2.8.6); this is the working
-        implementation of its intent.
-        """
+    def _setting_from_row(self, row: Dict[str, Any]) -> Dict[str, Any]:
+        """The grid-setting subset of a ledger row (drops metric/timing
+        columns), keyed by the sweep's own grid axes."""
+        keys = (set(self.list_of_param_settings[0])
+                if self.list_of_param_settings else set(row))
+        return {k: v for k, v in row.items() if k in keys}
+
+    def export_best_params(self) -> Optional[str]:
+        """Checkpoint the GLOBAL ledger winner's fold-0 two-phase params
+        (MMAE stack + classifier head) — the persistence analog of the
+        reference's save_model (multimodal_autoencoder.py:766-800) for
+        the classification workload.  The winner comes from the LEDGER,
+        not just this run's buckets: a resumed (``cont=True``) sweep may
+        owe its best score to a previous generation whose params were
+        never in this process — that winner is retrained (both phases,
+        fold 0) before export.  ``meta['extra']`` records the winning
+        setting verbatim — including the phase-2 head keep-probability
+        ``setting['dropout_prob']``, which MMAEConfig has no field for
+        (it only matters during training; inference runs keep_prob=1) —
+        plus its score, so a multi-host run can pick the cross-host
+        winner afterwards
+        (parallel/multihost.select_global_best_checkpoint).  Returns the
+        checkpoint path (None on an empty ledger)."""
+        from multimodalautoencoder_tpu.train import checkpoint as ck
+
+        if len(self.ledger) == 0:
+            return None
+        best = self.ledger.find_best_setting(self.optimize_for,
+                                             self.min_or_max)
+        row = best.to_dict()
+        try:
+            ledger_score = float(row.get(self.optimize_for))
+        except (TypeError, ValueError):
+            ledger_score = float("nan")
+        sign = 1.0 if self.min_or_max == "max" else -1.0
+        # _track_best stores sign*score, comparable directly; NaN
+        # comparisons are False, so a degraded all-NaN ledger column
+        # falls back to this run's tracked winner
+        use_tracked = (self._best_saved is not None
+                       and not sign * ledger_score > self._best_saved[0])
+        if use_tracked:
+            signed, setting, host_params, cfg = self._best_saved
+            score = sign * signed
+        else:
+            setting = self._setting_from_row(row)
+            state2, cfg, _ = self._retrain_fold0(row)
+            host_params = jax.tree_util.tree_map(np.asarray,
+                                                 state2.params)
+            score = ledger_score
+        path = ck.save_checkpoint(
+            os.path.dirname(self.ledger.path), self._export_name(),
+            host_params, cfg, step=self.cls_tcfg.num_steps,
+            extra={"setting": setting, "score": score,
+                   "optimize_for": self.optimize_for,
+                   "min_or_max": self.min_or_max})
+        if self.verbose:
+            print(f"saved best two-phase params "
+                  f"({self.optimize_for} {score:.4f}) -> {path}")
+        return path
+
+    def _retrain_fold0(self, setting: Dict[str, Any]):
+        """Train both phases for ``setting`` from scratch on fold 0 (the
+        reference's per-setting recipe,
+        autoencoder_classification_wrapper.py:195-258, at single-setting
+        scale).  Returns (trained phase-2 TrainState, resolved cfg,
+        classification fold-0 device arrays).  Shared by test_on_test
+        and the resumed-winner export path; accepts full ledger rows
+        (extra columns ignored)."""
         import jax.numpy as jnp
 
-        from multimodalautoencoder_tpu.models import losses as losses_lib
-        from multimodalautoencoder_tpu.models import mmae as mmae_lib
-        from multimodalautoencoder_tpu.ops import metrics as metrics_lib
         from multimodalautoencoder_tpu.train import trainer
 
         setting = grid_lib.convert_param_dict_for_use(dict(setting))
@@ -1195,7 +1324,25 @@ class MMAEClassificationSweep:
         state2, _ = trainer.train_classification_jit(
             state2, cfg, cls_tcfg, spec, cls_arr["train_x"],
             cls_arr["train_y"], cls_arr["val_x"], cls_arr["val_y"])
+        return state2, cfg, cls_arr
 
+    def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:
+        """Held-out test evaluation for a setting: retrain both phases on
+        fold 0, predict the classification test set, full metric battery
+        with noisy/clean slices.
+
+        The reference's automated test path is broken (NameError at
+        autoencoder_classification_wrapper.py:369, undefined optimize_for
+        at generic_wrapper.py:358 — SURVEY §2.8.6); this is the working
+        implementation of its intent.
+        """
+        import jax.numpy as jnp
+
+        from multimodalautoencoder_tpu.models import losses as losses_lib
+        from multimodalautoencoder_tpu.models import mmae as mmae_lib
+        from multimodalautoencoder_tpu.ops import metrics as metrics_lib
+
+        state2, cfg, cls_arr = self._retrain_fold0(setting)
         test_x = cls_arr["test_x"]
         out = mmae_lib.forward(state2.params, cfg, test_x,
                                rng=jax.random.PRNGKey(1), keep_prob=1.0,

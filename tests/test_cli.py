@@ -178,3 +178,31 @@ def test_sweep_classification_cli_flags_wired(csv_path, tmp_path,
     assert captured["backend"] == "pallas"
     assert captured["process_shard"] == (0, 2)
     assert captured["save_best_params"] is True
+
+
+def test_merge_shards_cli(tmp_path, capsys):
+    """merge-shards merges the per-host ledger CSVs and names the
+    cross-host best checkpoint from the shard winner exports."""
+    import numpy as np
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    for i in range(2):
+        pd.DataFrame([{"arch": i, "val_acc": 0.5 + i / 10}]).to_csv(
+            tmp_path / f"MMAE-d.shard{i}of2.csv")
+        ck.save_checkpoint(
+            str(tmp_path), f"best_mmae.shard{i}of2",
+            {"w": np.zeros((2, 2))}, MMAEConfig(num_feats=4), step=10,
+            extra={"score": 0.5 + i / 10, "min_or_max": "max"})
+    rc = cli.main(["merge-shards", str(tmp_path), "MMAE-d",
+                   "--best-checkpoint", "best_mmae"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best_mmae.shard1of2-10.npz" in out
+    merged = pd.read_csv(tmp_path / "MMAE-d.csv", index_col=0)
+    assert len(merged) == 2
+
+    rc = cli.main(["merge-shards", str(tmp_path), "MMAE-d",
+                   "--best-checkpoint", "nonexistent"])
+    assert rc == 1

@@ -269,3 +269,15 @@ def test_remove_null_cols_ignores_empty_splits():
     df = pd.DataFrame({"call_a": [1.0, 2.0], "dataset": ["Train", "Train"]})
     out, feats = pp.remove_null_cols(df, ["call_a"])
     assert feats == ["call_a"]
+
+
+def test_reference_scale_loaders_params(tmp_path):
+    """num_rows/seed pass through to the shared benchmark-dataset
+    builder (the probe-parity harness shrinks/reseeds it without
+    re-specifying the modality schema)."""
+    unsup, sup = synthetic.reference_scale_loaders(str(tmp_path),
+                                                   num_rows=60, seed=3)
+    df = pd.read_csv(tmp_path / "acii.csv", index_col=0)
+    assert len(df) == 60
+    assert unsup.num_feats == 1000
+    assert sup.num_feats == 1000

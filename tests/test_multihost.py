@@ -28,6 +28,50 @@ def test_partition_round_robin():
     assert multihost.partition_settings(settings, 0, 1) == settings
 
 
+def test_partition_rejects_out_of_range_index():
+    """A 1-based host number (or a negative one) must raise, not
+    silently return an empty slice that trains nothing and surfaces
+    hours later as an incomplete merge."""
+    settings = [{"i": i} for i in range(4)]
+    with pytest.raises(ValueError, match="0-based"):
+        multihost.partition_settings(settings, 2, 2)
+    with pytest.raises(ValueError, match="0-based"):
+        multihost.partition_settings(settings, -1, 2)
+    with pytest.raises(ValueError, match="process_count"):
+        multihost.partition_settings(settings, 0, 0)
+
+
+def test_select_global_best_checkpoint(tmp_path):
+    """Cross-host winner = best meta['extra'] score within the newest
+    shard generation; a stale wider generation must not leak in."""
+    import numpy as np
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    cfg = MMAEConfig(num_feats=4, layer_sizes=(3, 2))
+    params = {"w": np.zeros((2, 2))}
+    stale = ck.save_checkpoint(
+        str(tmp_path), "best.shard0of3", params, cfg, step=10,
+        extra={"score": 0.99, "min_or_max": "max"})
+    os.utime(stale, (1, 1))           # force the of3 generation older
+    for i, score in ((0, 0.6), (1, 0.7)):
+        ck.save_checkpoint(
+            str(tmp_path), f"best.shard{i}of2", params, cfg, step=10,
+            extra={"score": score, "min_or_max": "max"})
+    win = multihost.select_global_best_checkpoint(str(tmp_path), "best")
+    assert win.endswith("best.shard1of2-10.npz")
+    # min_or_max from the meta flips the comparison
+    for i, score in ((0, 0.6), (1, 0.7)):
+        ck.save_checkpoint(
+            str(tmp_path), f"loss.shard{i}of2", params, cfg, step=10,
+            extra={"score": score, "min_or_max": "min"})
+    win = multihost.select_global_best_checkpoint(str(tmp_path), "loss")
+    assert win.endswith("loss.shard0of2-10.npz")
+    with pytest.raises(FileNotFoundError):
+        multihost.select_global_best_checkpoint(str(tmp_path), "absent")
+
+
 def test_shard_ledger_path():
     assert multihost.shard_ledger_path("r", "MMAE-d", 0, 1) == "MMAE-d"
     assert multihost.shard_ledger_path("r", "MMAE-d", 2, 4) == \

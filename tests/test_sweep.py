@@ -41,6 +41,11 @@ def test_ledger_resume_and_best(tmp_path):
     assert best["C"] == 10
     best = led2.find_best_setting("val_score", "min")
     assert best["C"] == 1
+    # lookup: recorded row (with its score) for an already-done setting
+    row = led2.lookup({"C": 10, "architecture": [8, 4]})
+    assert row is not None and row["val_score"] == 0.9
+    assert led2.lookup({"C": 5, "architecture": [8, 4]}) is None
+    assert len(led2.matching_rows({"C": 1})) == 1
 
 
 def test_save_prefix_collision(tmp_path):

@@ -166,3 +166,68 @@ def test_cls_save_best_params(cls_loaders, tmp_path):
     best = s.ledger.find_best_setting("val_acc", "max")
     assert (str(s._best_saved[1]["classification_layers"])
             == str(best["classification_layers"]))
+    # the winning setting is recorded verbatim in the checkpoint meta —
+    # including the phase-2 head keep-probability, which MMAEConfig has
+    # no field for
+    meta = ck.checkpoint_meta(os.path.join(tmp_path, ckpts[0]))
+    extra = meta["extra"]
+    assert extra["optimize_for"] == "val_acc"
+    assert float(extra["setting"]["dropout_prob"]) == float(
+        best["dropout_prob"])
+    assert extra["score"] == pytest.approx(float(best["val_acc"]))
+
+
+def test_export_best_params_resumed(unsup, tmp_path):
+    """A resumed (cont=True) sweep must export the GLOBAL ledger winner
+    even when this run trained nothing new: the winner predates the run,
+    so export_best_params retrains it on fold 0 and the checkpoint meta
+    records the winning setting + score (the round-3 tracker only saw
+    freshly-run buckets and could export a strictly worse setting)."""
+    kw = sweep_kwargs(tmp_path)
+    s1 = wrappers.MMAESweep(unsup, **kw)
+    s1.sweep_all_parameters()                    # generation 1, no export
+
+    s2 = wrappers.MMAESweep(unsup, cont=True, save_best_params=True, **kw)
+    s2.sweep_all_parameters()                    # everything already done
+    assert s2._best_saved is None                # nothing trained this run
+
+    ckpts = [f for f in os.listdir(tmp_path) if f.startswith("best_mmae")]
+    assert len(ckpts) == 1
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    meta = ck.checkpoint_meta(os.path.join(tmp_path, ckpts[0]))
+    best = s2.ledger.find_best_setting(s2.optimize_for, s2.min_or_max)
+    assert float(meta["extra"]["setting"]["dropout_prob"]) == float(
+        best["dropout_prob"])
+    assert meta["extra"]["score"] == pytest.approx(
+        float(best[s2.optimize_for]))
+    assert meta["extra"]["min_or_max"] == s2.min_or_max
+
+
+def test_sharded_export_no_collision_and_global_select(unsup, tmp_path):
+    """Two hosts exporting their slice winners into one shared results
+    dir must write DISTINCT shard-tagged checkpoints (round-3 wrote one
+    colliding 'best_mmae-<steps>.npz'), and
+    select_global_best_checkpoint picks the cross-host winner by the
+    score in each checkpoint's meta."""
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    for pi in range(2):
+        s = wrappers.MMAESweep(unsup, process_shard=(pi, 2),
+                               save_best_params=True,
+                               **sweep_kwargs(tmp_path))
+        s.sweep_all_parameters()
+
+    ckpts = sorted(f for f in os.listdir(tmp_path)
+                   if f.startswith("best_mmae.shard"))
+    assert len(ckpts) == 2
+    assert {f.split("-")[0] for f in ckpts} == {
+        "best_mmae.shard0of2", "best_mmae.shard1of2"}
+
+    win = multihost.select_global_best_checkpoint(str(tmp_path),
+                                                  "best_mmae")
+    metas = {f: ck.checkpoint_meta(os.path.join(tmp_path, f))
+             for f in ckpts}
+    # optimize_for is the val loss (min): the smaller recorded score wins
+    expect = min(ckpts, key=lambda f: metas[f]["extra"]["score"])
+    assert os.path.basename(win) == expect
