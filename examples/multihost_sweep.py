@@ -62,7 +62,8 @@ def worker(args):
     sweep = MMAESweep(unsup, results_path=args.out, cont=False,
                       probe=None, num_steps=args.steps,
                       num_cross_folds=2, verbose=False,
-                      process_shard=(idx, count), **GRID)
+                      process_shard=(idx, count),
+                      save_best_params=True, **GRID)
     sweep.run()
     print(json.dumps({"host": idx,
                       "settings_trained": len(sweep.ledger.df)}),
@@ -144,6 +145,17 @@ def main(args):
     print(f"best: arch {best['architecture']} tied {best['tie_weights']} "
           f"dropout {best['dropout_prob']} "
           f"loss {best['val_sigmoid_cross_entropy']:.4f}")
+    # each host exported its slice winner (save_best_params=True); pick
+    # the cross-host winner among the shard-tagged checkpoints and check
+    # it agrees with the merged ledger's best row
+    win = multihost.select_global_best_checkpoint(args.out, "best_mmae")
+    from multimodalautoencoder_tpu.train.checkpoint import checkpoint_meta
+    extra = checkpoint_meta(win)["extra"]
+    assert abs(extra["score"]
+               - best["val_sigmoid_cross_entropy"]) < 1e-6, (
+        extra["score"], best["val_sigmoid_cross_entropy"])
+    print(f"cross-host winner checkpoint: {win} "
+          f"(score {extra['score']:.4f})")
 
 
 if __name__ == "__main__":

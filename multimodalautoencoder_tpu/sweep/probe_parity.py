@@ -261,6 +261,14 @@ if __name__ == "__main__":
                          "params (device ~3 min + host SVC grid "
                          "~35 min)")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--folds", type=int, default=None,
+                    help="at-scale only: cross-validation folds "
+                         "(default 5, the reference's)")
+    ap.add_argument("--rows", type=int, default=None,
+                    help="at-scale only: dataset rows (default 2000; the "
+                         "host SVC grid's fit cost scales ~quadratically "
+                         "with rows, so this is the knob that trades SVM "
+                         "wall-clock without touching the grid/steps)")
     ap.add_argument("--out", default=None,
                     help="also write the agreement JSON to this path")
     args = ap.parse_args()
@@ -268,7 +276,9 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     if args.at_scale:
         agreement = measure_probe_agreement_at_scale(
-            num_steps=args.steps or 15000)
+            num_steps=args.steps or 15000,
+            **{k: v for k, v in (("folds", args.folds),
+                                 ("num_rows", args.rows)) if v})
     else:
         agreement = measure_probe_agreement(
             **({"num_steps": args.steps} if args.steps else {}))
