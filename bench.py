@@ -209,7 +209,9 @@ def main():
             "unit": ("configs/hour, MEASURED end-to-end MMAESweep.run() "
                      "(108cfg x 5fold x 15k steps, probe+ledger on; "
                      "warm pass of 2, first pass "
-                     f"{rates[0]:.0f}/hr in {walls[0]:.1f}s; "
+                     f"{rates[0]:.0f}/hr in {walls[0]:.1f}s — the gap is "
+                     "remote compile-SERVER cache misses, unreachable "
+                     "client-side, see COLDSTART_r04.md; "
                      f"wall {wall:.1f}s = train {ph['train']:.0f}s "
                      f"(launch {ph['train_launch']:.0f}/wait "
                      f"{ph['train_wait']:.0f}) + probe {ph['probe']:.0f}s "
