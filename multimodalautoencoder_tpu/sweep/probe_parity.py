@@ -26,6 +26,7 @@ agreement stays strong.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 from typing import Dict, Optional, Sequence
@@ -161,7 +162,8 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
                                      folds: int = 5, seed: int = 0,
                                      backend: str = "auto",
                                      workdir: Optional[str] = None,
-                                     num_rows: int = 2000
+                                     num_rows: int = 2000,
+                                     partial_out: Optional[str] = None
                                      ) -> Dict[str, dict]:
     """Probe agreement at REFERENCE scale: the real 108-setting grid
     (archs (1000,100)/(500,100)/(300,100) + VAE augmentation,
@@ -172,10 +174,17 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
     probe behavior, not training noise — with identical seeds two runs
     train bitwise-identical params anyway).
 
-    Device cost: one full sweep's training (~2.5 min warm) + the device
-    probe.  Host cost: the faithful sklearn SVC grid — 108 settings x
-    ``folds`` x 3 labels x 6 (C, gamma) fits (~35 min).  Results are
-    recorded in PARITY.md; the artifact lives in PROBE_PARITY_r04.json.
+    Device cost: one full sweep's training (~2.5 min warm — each bucket
+    program is a fresh remote-server compile when cold, 5-8 min EACH).
+    Host cost: the faithful sklearn SVC grid — 108 settings x ``folds``
+    x 3 labels x 6 (C, gamma) fits; the SVC fit cost scales
+    ~quadratically with ``num_rows``.  Results are recorded in
+    PARITY.md; the artifact lives in PROBE_PARITY_r04.json.
+
+    ``partial_out``: flush the agreement-so-far JSON there after every
+    bucket (tagged ``partial=True`` with coverage counts) — buckets run
+    widest-arch first so an interrupted run still yields the
+    decision-relevant families; the final write is the full result.
     """
     import time
 
@@ -205,6 +214,16 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
 
         svm_rows_all, dev_rows_all, settings_all = [], [], []
         buckets = grid_lib.bucket_settings(sweep.list_of_param_settings)
+        # widest architectures first: the reference's winners live in the
+        # 1000-wide family, so a partial run covers the families the
+        # selection decision actually hinges on
+        buckets = sorted(buckets,
+                         key=lambda kb: -int(kb[1][0]["architecture"][0]))
+
+        def frame(rows):
+            return pd.DataFrame([{**s, **r} for s, r in
+                                 zip(settings_all, rows)])
+
         for bi, (key, bucket) in enumerate(buckets):
             t0 = time.time()
             cfg = sweep._cfg_for_bucket(bucket[0])
@@ -215,6 +234,9 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
                 sweep.folded, backend=backend)
             np.asarray(losses)          # materialize = trained
             t1 = time.time()
+            print(f"bucket {bi + 1}/{len(buckets)} "
+                  f"(arch {bucket[0]['architecture']}, {len(bucket)} "
+                  f"cfg): trained in {t1 - t0:.0f}s", flush=True)
             dev = sweep._device_probe_launch(
                 params, cfg, hyper, len(bucket),
                 jax.random.fold_in(jax.random.PRNGKey(seed + 23), bi))
@@ -230,12 +252,23 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
                 settings_all.append(dict(s))
                 svm_rows_all.append(svm_rows[c])
                 dev_rows_all.append(dev_rows[c])
+            coverage = {
+                "partial": bi + 1 < len(buckets),
+                "buckets_done": bi + 1, "buckets_total": len(buckets),
+                "settings_done": len(settings_all),
+                "settings_total": sweep.num_settings,
+                "num_steps": num_steps, "folds": folds,
+                "num_rows": num_rows}
+            if partial_out:
+                agree = ranking_agreement(frame(svm_rows_all),
+                                          frame(dev_rows_all))
+                agree["_coverage"] = coverage
+                with open(partial_out, "w") as f:
+                    json.dump(agree, f, indent=2)
 
-        def frame(rows):
-            return pd.DataFrame([{**s, **r} for s, r in
-                                 zip(settings_all, rows)])
-
-        return ranking_agreement(frame(svm_rows_all), frame(dev_rows_all))
+        out = ranking_agreement(frame(svm_rows_all), frame(dev_rows_all))
+        out["_coverage"] = coverage
+        return out
     finally:
         if own_tmp:
             import shutil
@@ -275,8 +308,11 @@ if __name__ == "__main__":
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     if args.at_scale:
+        # partial_out: the artifact updates after EVERY bucket (widest
+        # archs first), so an interrupted run still leaves a valid
+        # partial measurement with coverage counts
         agreement = measure_probe_agreement_at_scale(
-            num_steps=args.steps or 15000,
+            num_steps=args.steps or 15000, partial_out=args.out,
             **{k: v for k, v in (("folds", args.folds),
                                  ("num_rows", args.rows)) if v})
     else:
