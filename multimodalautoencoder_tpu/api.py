@@ -448,15 +448,27 @@ class MultimodalAutoencoder:
         states = {"opt": (self.state.opt_state, self.state.step,
                           self.state.rng)}
         tags = {"opt": self.tcfg.optimizer}
+        curves = {"train_loss": np.asarray(self.train_loss),
+                  "val_loss": np.asarray(self.val_loss)}
         if self._cls_state is not None:
             states["cls_opt"] = (self._cls_state.opt_state,
                                  self._cls_state.step, self._cls_state.rng)
             tags["cls_opt"] = self.classification_tcfg.optimizer
+        if self.classification_train_loss or self.train_acc:
+            # phase-2 history travels with the phase-2 slots: a reloaded
+            # model's classification curves must resume where its
+            # restored cls step counter says they do
+            curves.update(
+                classification_train_loss=np.asarray(
+                    self.classification_train_loss),
+                classification_val_loss=np.asarray(
+                    self.classification_val_loss),
+                train_acc=np.asarray(self.train_acc),
+                val_acc=np.asarray(self.val_acc))
         return ckpt_lib.save_checkpoint(
             directory or self.checkpoint_dir,
             file_name or self.model_name, self.params, self.cfg,
-            curves={"train_loss": np.asarray(self.train_loss),
-                    "val_loss": np.asarray(self.val_loss)},
+            curves=curves,
             step=len(self.train_loss) * self.record_every_nth,
             states=states, state_tags=tags)
 
@@ -495,6 +507,12 @@ class MultimodalAutoencoder:
                     jax.random.PRNGKey(self.seed + 3))
         self.train_loss = list(curves.get("train_loss", []))
         self.val_loss = list(curves.get("val_loss", []))
+        self.classification_train_loss = list(
+            curves.get("classification_train_loss", []))
+        self.classification_val_loss = list(
+            curves.get("classification_val_loss", []))
+        self.train_acc = list(curves.get("train_acc", []))
+        self.val_acc = list(curves.get("val_acc", []))
 
     def _restore_train_state(self, reader, name: str, params,
                              tcfg, fallback_rng) -> trainer.TrainState:

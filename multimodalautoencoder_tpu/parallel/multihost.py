@@ -186,6 +186,17 @@ def select_global_best_checkpoint(results_path: str, name: str,
             by_gen, key=lambda n: max(
                 os.path.getmtime(os.path.join(results_path, f))
                 for f in by_gen[n]))
+    present = set()
+    for f in by_gen[num_shards]:
+        present.add(int(pat.match(f).group(1)))
+    missing = sorted(set(range(num_shards)) - present)
+    if missing:
+        # Same contract as merge_ledger_shards: a host that crashed (or
+        # never exported) must fail the selection loudly — the true
+        # winner may live on the missing shard.
+        raise FileNotFoundError(
+            f"checkpoint shard set of{num_shards} for {name!r} is "
+            f"missing indices {missing}")
     best_path, best_signed = None, None
     for f in by_gen[num_shards]:
         path = os.path.join(results_path, f)

@@ -103,9 +103,10 @@ class ResultsLedger:
         return len(self.matching_rows(setting)) > 0
 
     def lookup(self, setting: Dict[str, Any]):
-        """First ledger row matching ``setting``, or None — lets a
-        resumed sweep read the recorded score of an already-done
-        setting."""
+        """First ledger row matching ``setting``, or None.  Convenience
+        accessor over :meth:`matching_rows` for reading a recorded
+        row back (the resume path itself uses :meth:`already_done`;
+        winner selection uses :meth:`find_best_setting`)."""
         rows = self.matching_rows(setting)
         return rows.iloc[0] if len(rows) else None
 

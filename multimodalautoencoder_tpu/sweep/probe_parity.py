@@ -205,12 +205,10 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
                           results_path=os.path.join(workdir, "res"),
                           num_steps=num_steps, num_cross_folds=folds,
                           seed=seed, backend=backend, verbose=True)
-        # the svm ctor path built _cls_folds (host arrays); ALSO build the
-        # device probe's folded data so both probes can score each bucket
-        has_noisy = "logistics_noisy" in sweep.cls_loader.df.columns
-        sweep._cls_folded = gt.FoldedData.from_loader(
-            sweep.cls_loader, folds, supervised=True,
-            noisy_flags=has_noisy)
+        # both probes score each bucket on one sweep: the lazy
+        # cls_folds / cls_folded properties expose the svm AND device
+        # views of the same classification loader (single source of
+        # truth with the real sweep's probe data construction)
 
         svm_rows_all, dev_rows_all, settings_all = [], [], []
         buckets = grid_lib.bucket_settings(sweep.list_of_param_settings)

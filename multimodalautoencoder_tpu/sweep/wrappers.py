@@ -96,6 +96,61 @@ def _cfg_slice(emb_dict, key, c):
     return None if arr is None else arr[c]
 
 
+def _grid_setting_from_row(sweep, row: Dict[str, Any]) -> Dict[str, Any]:
+    """The grid-setting subset of a ledger row (drops score/timing
+    columns), keyed by the sweep's own grid axes."""
+    keys = (set(sweep.list_of_param_settings[0])
+            if sweep.list_of_param_settings else set(row))
+    return {k: v for k, v in row.items() if k in keys}
+
+
+def _export_best_checkpoint(sweep, *, base_name: str, step: int, resolve):
+    """Shared winner-export engine for both sweeps — the persistence
+    analog of the reference's save_model on the chosen setting
+    (multimodal_autoencoder.py:766-800).
+
+    Looks up the GLOBAL ledger winner (a resumed ``cont=True`` sweep may
+    owe its best score to a previous generation whose params were never
+    in this process), then delegates the tracked-vs-retrain decision —
+    the only part that legitimately differs between the sweeps — to
+    ``resolve(row, ledger_score) -> (setting, host_params, cfg, score)``,
+    and writes the checkpoint.  Under ``process_shard`` the name is
+    shard-tagged (parallel/multihost.shard_ledger_path convention) so
+    concurrent hosts writing into a shared results dir never overwrite
+    each other's slice winner; ``meta['extra']`` records the winning
+    setting verbatim plus its score so
+    parallel/multihost.select_global_best_checkpoint can pick the
+    cross-host winner afterwards.  Returns the checkpoint path (None on
+    an empty ledger)."""
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    if len(sweep.ledger) == 0:
+        return None
+    best = sweep.ledger.find_best_setting(sweep.optimize_for,
+                                          sweep.min_or_max)
+    row = best.to_dict()
+    try:
+        ledger_score = float(row.get(sweep.optimize_for))
+    except (TypeError, ValueError):
+        ledger_score = float("nan")
+    setting, host_params, cfg, score = resolve(row, ledger_score)
+    if sweep.process_shard is not None:
+        i, n = sweep.process_shard
+        name = f"{base_name}.shard{i}of{n}"
+    else:
+        name = base_name
+    path = ck.save_checkpoint(
+        os.path.dirname(sweep.ledger.path), name, host_params, cfg,
+        step=step,
+        extra={"setting": setting, "score": score,
+               "optimize_for": sweep.optimize_for,
+               "min_or_max": sweep.min_or_max})
+    if sweep.verbose:
+        print(f"saved best params ({sweep.optimize_for} "
+              f"{score:.4f}) -> {path}")
+    return path
+
+
 class MMAESweep:
     """Grid search over MMAE hyperparameters, scored by noisy-val
     reconstruction loss, with an SVM embedding-quality probe — the
@@ -239,19 +294,36 @@ class MMAESweep:
                                     data_loader.modality_table)
         self.folded = gt.FoldedData.from_loader(data_loader,
                                                 num_cross_folds)
+        # probe fold data is built lazily (cls_folds / cls_folded
+        # properties) so BOTH probes' views of the classification
+        # loader are available on one sweep — the dual-probe parity
+        # harness (sweep/probe_parity.py) scores svm and device probes
+        # on the same trained params without reaching into internals
         self._cls_folds = None
         self._cls_folded = None
-        if self.cls_loader is not None and self.probe == "svm":
-            self._cls_folds = [
-                self._cls_fold_arrays(f) for f in range(num_cross_folds)]
-        elif (self.cls_loader is not None
-              and self.probe in ("device", "device-exact")):
-            has_noisy = "logistics_noisy" in self.cls_loader.df.columns
-            self._cls_folded = gt.FoldedData.from_loader(
-                self.cls_loader, num_cross_folds, supervised=True,
-                noisy_flags=has_noisy)
 
     # ------------------------------------------------------------------
+    @property
+    def cls_folds(self):
+        """Host-side per-fold classification arrays (the SVM probe's
+        view of the classification loader), built on first use."""
+        if self._cls_folds is None and self.cls_loader is not None:
+            self._cls_folds = [self._cls_fold_arrays(f)
+                               for f in range(self.num_cross_folds)]
+        return self._cls_folds
+
+    @property
+    def cls_folded(self):
+        """Stacked on-device classification fold data (the device
+        probe's view of the classification loader), built on first
+        use."""
+        if self._cls_folded is None and self.cls_loader is not None:
+            has_noisy = "logistics_noisy" in self.cls_loader.df.columns
+            self._cls_folded = gt.FoldedData.from_loader(
+                self.cls_loader, self.num_cross_folds, supervised=True,
+                noisy_flags=has_noisy)
+        return self._cls_folded
+
     def _cls_fold_arrays(self, fold: int):
         """Host-side classification fold arrays for the SVM probe
         (autoencoder_wrapper.py:202-226 embeds train/val/noisy-val/
@@ -312,7 +384,7 @@ class MMAESweep:
         c_aucs = np.full((num_configs, K, L), np.nan)
 
         for f in range(K):
-            data = self._cls_folds[f]
+            data = self.cls_folds[f]
             params_f = jax.tree_util.tree_map(lambda a: a[:, f], params)
             emb = {k: self._embed_configs(params_f, cfg, hyper,
                                           data[k + "_X"])
@@ -386,11 +458,12 @@ class MMAESweep:
         Returns the DEVICE result; _device_probe_rows materializes."""
         from multimodalautoencoder_tpu.sweep import probe as probe_lib
 
+        folded = self.cls_folded
         n_labels = min(len(self.labels),
-                       int(self._cls_folded.train_y.shape[-1])
-                       if self._cls_folded.train_y.ndim == 3 else 1)
+                       int(folded.train_y.shape[-1])
+                       if folded.train_y.ndim == 3 else 1)
         return probe_lib.probe_grid(
-            rng, params, hyper.act_id[:num_configs], self._cls_folded,
+            rng, params, hyper.act_id[:num_configs], folded,
             cfg=cfg, Cs=tuple(float(c) for c in self.svm_Cs),
             gammas=tuple(float(g) for g in self.svm_gammas),
             num_labels=n_labels,
@@ -445,7 +518,7 @@ class MMAESweep:
         self.phase_seconds["train_launch"] += t_train - t0
         probe_dev = None
         if (self.probe in ("device", "device-exact")
-                and self._cls_folded is not None):
+                and self.cls_loader is not None):
             probe_dev = self._device_probe_launch(
                 params, cfg, hyper, len(bucket),
                 jax.random.fold_in(jax.random.PRNGKey(self.seed + 23),
@@ -476,7 +549,7 @@ class MMAESweep:
 
         t2 = time.time()
         probe_rows = None
-        if self.probe == "svm" and self._cls_folds is not None:
+        if self.probe == "svm" and self.cls_loader is not None:
             probe_rows = self._svm_probe_bucket(
                 st["params"], st["cfg"], st["hyper"], len(bucket))
         elif st["probe"] is not None:
@@ -547,79 +620,41 @@ class MMAESweep:
         if self.save_best_params:
             self.export_best_params()
 
-    def _export_name(self) -> str:
-        """Winner-checkpoint name: shard-tagged under ``process_shard``
-        (parallel/multihost.shard_ledger_path convention) so concurrent
-        hosts writing into a shared results dir never overwrite each
-        other's slice winner."""
-        if self.process_shard is not None:
-            i, n = self.process_shard
-            return f"best_mmae.shard{i}of{n}"
-        return "best_mmae"
-
-    def _setting_from_row(self, row: Dict[str, Any]) -> Dict[str, Any]:
-        """The grid-setting subset of a ledger row (drops score/timing
-        columns), keyed by the sweep's own grid axes."""
-        keys = (set(self.list_of_param_settings[0])
-                if self.list_of_param_settings else set(row))
-        return {k: v for k, v in row.items() if k in keys}
-
     def export_best_params(self) -> Optional[str]:
-        """Checkpoint the GLOBAL ledger winner's fold-0 params — the
-        persistence analog of the reference's save_model on the chosen
-        setting (multimodal_autoencoder.py:766-800).  The winner comes
-        from the LEDGER, not just this run's buckets: a resumed
-        (``cont=True``) sweep may owe its best score to a previous
-        generation whose params were never in this process — that
-        winner is retrained on fold 0 before export.  The checkpoint's
-        ``meta['extra']`` records the winning setting verbatim and its
-        score, so a multi-host run can pick the cross-host winner
-        afterwards (parallel/multihost.select_global_best_checkpoint).
-        Returns the checkpoint path (None on an empty ledger)."""
-        from multimodalautoencoder_tpu.train import checkpoint as ck
+        """Checkpoint the GLOBAL ledger winner's fold-0 params via the
+        shared :func:`_export_best_checkpoint` engine.  The only
+        MMAESweep-specific piece is the tracked-vs-retrain decision:
+        the in-flight tracker ranks by mean val loss
+        (_finalize_bucket), so its params stand in for the ledger
+        winner only when the sweep optimizes that same loss and the
+        ledger's best is not strictly better (a resumed sweep's winner
+        may predate this run)."""
 
-        if len(self.ledger) == 0:
-            return None
-        best = self.ledger.find_best_setting(self.optimize_for,
-                                             self.min_or_max)
-        row = best.to_dict()
-        try:
-            ledger_score = float(row.get(self.optimize_for))
-        except (TypeError, ValueError):
-            ledger_score = float("nan")
-        # the in-flight tracker ranks by mean val loss (_finalize_bucket),
-        # so its params stand in for the ledger winner only when the
-        # sweep optimizes that same loss and the ledger's best is not
-        # strictly better (a resumed sweep's winner may predate this run)
-        use_tracked = (
-            self._best_saved is not None
-            and self.optimize_for == "val_" + self.loss_func
-            and self.min_or_max == "min"
-            # NaN comparisons are False, so a degraded all-NaN ledger
-            # column falls back to this run's tracked winner
-            and not ledger_score < self._best_saved[0])
-        if use_tracked:
-            score, setting, host_params, cfg = self._best_saved
-            cfg = cfg.replace(
-                dropout_prob=float(setting.get("dropout_prob", 1.0)),
-                weight_penalty=float(setting.get("weight_penalty", 0.0)),
-                activation=setting.get("activation_function",
-                                       cfg.activation))
-        else:
-            setting = self._setting_from_row(row)
+        def resolve(row, ledger_score):
+            use_tracked = (
+                self._best_saved is not None
+                and self.optimize_for == "val_" + self.loss_func
+                and self.min_or_max == "min"
+                # NaN comparisons are False, so a degraded all-NaN
+                # ledger column falls back to this run's tracked winner
+                and not ledger_score < self._best_saved[0])
+            if use_tracked:
+                score, setting, host_params, cfg = self._best_saved
+                cfg = cfg.replace(
+                    dropout_prob=float(setting.get("dropout_prob", 1.0)),
+                    weight_penalty=float(
+                        setting.get("weight_penalty", 0.0)),
+                    activation=setting.get("activation_function",
+                                           cfg.activation))
+                return setting, host_params, cfg, score
+            setting = _grid_setting_from_row(self, row)
             state, cfg, _ = self._retrain_fold0(row)
             host_params = jax.tree_util.tree_map(np.asarray, state.params)
-            score = ledger_score
-        path = ck.save_checkpoint(
-            os.path.dirname(self.ledger.path), self._export_name(),
-            host_params, cfg, step=self.tcfg.num_steps,
-            extra={"setting": setting, "score": score,
-                   "optimize_for": self.optimize_for,
-                   "min_or_max": self.min_or_max})
-        if self.verbose:
-            print(f"saved best params ({self.optimize_for} "
-                  f"{score:.4f}) -> {path}")
-        return path
+            return setting, host_params, cfg, ledger_score
+
+        return _export_best_checkpoint(self, base_name="best_mmae",
+                                       step=self.tcfg.num_steps,
+                                       resolve=resolve)
 
     def find_best_setting(self, optimize_for=None, min_or_max=None):
         return self.ledger.find_best_setting(
@@ -1214,75 +1249,36 @@ class MMAEClassificationSweep:
         if self.save_best_params:
             self.export_best_params()
 
-    def _export_name(self) -> str:
-        """Winner-checkpoint name: shard-tagged under ``process_shard``
-        (parallel/multihost.shard_ledger_path convention) so concurrent
-        hosts writing into a shared results dir never overwrite each
-        other's slice winner."""
-        if self.process_shard is not None:
-            i, n = self.process_shard
-            return f"best_mmae_cls.shard{i}of{n}"
-        return "best_mmae_cls"
-
-    def _setting_from_row(self, row: Dict[str, Any]) -> Dict[str, Any]:
-        """The grid-setting subset of a ledger row (drops metric/timing
-        columns), keyed by the sweep's own grid axes."""
-        keys = (set(self.list_of_param_settings[0])
-                if self.list_of_param_settings else set(row))
-        return {k: v for k, v in row.items() if k in keys}
-
     def export_best_params(self) -> Optional[str]:
         """Checkpoint the GLOBAL ledger winner's fold-0 two-phase params
-        (MMAE stack + classifier head) — the persistence analog of the
-        reference's save_model (multimodal_autoencoder.py:766-800) for
-        the classification workload.  The winner comes from the LEDGER,
-        not just this run's buckets: a resumed (``cont=True``) sweep may
-        owe its best score to a previous generation whose params were
-        never in this process — that winner is retrained (both phases,
-        fold 0) before export.  ``meta['extra']`` records the winning
-        setting verbatim — including the phase-2 head keep-probability
-        ``setting['dropout_prob']``, which MMAEConfig has no field for
-        (it only matters during training; inference runs keep_prob=1) —
-        plus its score, so a multi-host run can pick the cross-host
-        winner afterwards
-        (parallel/multihost.select_global_best_checkpoint).  Returns the
-        checkpoint path (None on an empty ledger)."""
-        from multimodalautoencoder_tpu.train import checkpoint as ck
+        (MMAE stack + classifier head) via the shared
+        :func:`_export_best_checkpoint` engine.  ``meta['extra']``
+        records the winning setting verbatim — including the phase-2
+        head keep-probability ``setting['dropout_prob']``, which only
+        matters during training (inference runs keep_prob=1).  The
+        classification-specific tracked-vs-retrain decision:
+        ``_track_best`` stores sign*score, comparable directly after
+        re-signing the ledger score."""
 
-        if len(self.ledger) == 0:
-            return None
-        best = self.ledger.find_best_setting(self.optimize_for,
-                                             self.min_or_max)
-        row = best.to_dict()
-        try:
-            ledger_score = float(row.get(self.optimize_for))
-        except (TypeError, ValueError):
-            ledger_score = float("nan")
-        sign = 1.0 if self.min_or_max == "max" else -1.0
-        # _track_best stores sign*score, comparable directly; NaN
-        # comparisons are False, so a degraded all-NaN ledger column
-        # falls back to this run's tracked winner
-        use_tracked = (self._best_saved is not None
-                       and not sign * ledger_score > self._best_saved[0])
-        if use_tracked:
-            signed, setting, host_params, cfg = self._best_saved
-            score = sign * signed
-        else:
-            setting = self._setting_from_row(row)
+        def resolve(row, ledger_score):
+            sign = 1.0 if self.min_or_max == "max" else -1.0
+            # NaN comparisons are False, so a degraded all-NaN ledger
+            # column falls back to this run's tracked winner
+            use_tracked = (
+                self._best_saved is not None
+                and not sign * ledger_score > self._best_saved[0])
+            if use_tracked:
+                signed, setting, host_params, cfg = self._best_saved
+                return setting, host_params, cfg, sign * signed
+            setting = _grid_setting_from_row(self, row)
             state2, cfg, _ = self._retrain_fold0(row)
             host_params = jax.tree_util.tree_map(np.asarray,
                                                  state2.params)
-            score = ledger_score
-        path = ck.save_checkpoint(
-            os.path.dirname(self.ledger.path), self._export_name(),
-            host_params, cfg, step=self.cls_tcfg.num_steps,
-            extra={"setting": setting, "score": score,
-                   "optimize_for": self.optimize_for,
-                   "min_or_max": self.min_or_max})
-        if self.verbose:
-            print(f"saved best two-phase params "
-                  f"({self.optimize_for} {score:.4f}) -> {path}")
-        return path
+            return setting, host_params, cfg, ledger_score
+
+        return _export_best_checkpoint(self, base_name="best_mmae_cls",
+                                       step=self.cls_tcfg.num_steps,
+                                       resolve=resolve)
 
     def _retrain_fold0(self, setting: Dict[str, Any]):
         """Train both phases for ``setting`` from scratch on fold 0 (the
@@ -1316,15 +1312,23 @@ class MMAEClassificationSweep:
         state, _ = trainer.train_jit(state, cfg, self.tcfg, spec,
                                      arr["train_x"], arr["val_x"])
         cls_tcfg = self.cls_tcfg
+        # Phase 2 trains under the setting's HEAD keep-probability
+        # ('dropout_prob'), not the phase-1 'mmae_dropout_prob' — same
+        # recipe as the grid path (grid_trainer.py: chyper keep_prob),
+        # so the exported winner matches the params that earned its
+        # ledger score.  cfg.dropout_prob is what classification_step
+        # passes as keep_prob, hence the per-phase replace.
+        cfg2 = cfg.replace(
+            dropout_prob=float(setting.get("dropout_prob", 1.0)))
         state2 = trainer.TrainState(
             params=state.params,
             opt_state=trainer.optim.opt_init(cls_tcfg.optimizer,
                                              state.params),
             step=jnp.zeros((), jnp.int32), rng=state.rng)
         state2, _ = trainer.train_classification_jit(
-            state2, cfg, cls_tcfg, spec, cls_arr["train_x"],
+            state2, cfg2, cls_tcfg, spec, cls_arr["train_x"],
             cls_arr["train_y"], cls_arr["val_x"], cls_arr["val_y"])
-        return state2, cfg, cls_arr
+        return state2, cfg2, cls_arr
 
     def test_on_test(self, setting: Dict[str, Any]) -> Dict[str, float]:
         """Held-out test evaluation for a setting: retrain both phases on

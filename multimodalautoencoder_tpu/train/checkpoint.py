@@ -269,6 +269,16 @@ class CheckpointReader:
                     f"checkpoint state {name!r} leaf shape {np.shape(a)} "
                     f"!= template {tuple(tshape)} — fall back to fresh "
                     "state")
+            # Dtype must match too: a checkpoint saved under a different
+            # optimizer_state_dtype (e.g. bf16 moments) restored into an
+            # f32-configured run would silently resume with
+            # wrong-precision Adam accumulators.
+            tdtype = getattr(t, "dtype", None)
+            if tdtype is not None and np.dtype(a.dtype) != np.dtype(tdtype):
+                raise ValueError(
+                    f"checkpoint state {name!r} leaf dtype {a.dtype} != "
+                    f"template {tdtype} (optimizer_state_dtype differs?) "
+                    "— fall back to fresh state")
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

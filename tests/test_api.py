@@ -398,9 +398,18 @@ def test_step_exact_resume_phase2(csv_path, tmp_path):
 
     _assert_trees_equal(a.params, c.params)
     _assert_trees_equal(a._cls_state.opt_state, c._cls_state.opt_state)
+    # phase-2 curves persist WITH the phase-2 slots: the resumed model's
+    # full classification history equals the uninterrupted run's
     np.testing.assert_array_equal(
-        np.asarray(a.classification_val_loss[-1:]),
-        np.asarray(c.classification_val_loss[-1:]))
+        np.asarray(a.classification_train_loss),
+        np.asarray(c.classification_train_loss))
+    np.testing.assert_array_equal(
+        np.asarray(a.classification_val_loss),
+        np.asarray(c.classification_val_loss))
+    np.testing.assert_array_equal(np.asarray(a.train_acc),
+                                  np.asarray(c.train_acc))
+    np.testing.assert_array_equal(np.asarray(a.val_acc),
+                                  np.asarray(c.val_acc))
     # phase-1 slots restored alongside (untouched by phase 2)
     _assert_trees_equal(a.state.opt_state, c.state.opt_state)
 
@@ -448,3 +457,9 @@ def test_restore_state_bf16_bit_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="tag"):
         ckpt_lib.restore_state(path, "opt", state, expect_tag="sgd")
     assert ckpt_lib.restore_state(path, "missing", state) is None
+    # dtype mismatch (e.g. a checkpoint saved under a different
+    # optimizer_state_dtype) must raise -> callers fall back to fresh
+    # slots instead of silently resuming with wrong-precision moments
+    wrong = dict(state, m=jnp.asarray(np.asarray(state["m"], np.float32)))
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt_lib.restore_state(path, "opt", wrong)

@@ -72,6 +72,24 @@ def test_select_global_best_checkpoint(tmp_path):
         multihost.select_global_best_checkpoint(str(tmp_path), "absent")
 
 
+def test_select_global_best_checkpoint_incomplete_generation(tmp_path):
+    """A shard set missing a host's checkpoint must raise (same
+    contract as merge_ledger_shards): the true winner may live on the
+    missing shard, so silently crowning host 0's slice winner as the
+    global best would be wrong."""
+    import numpy as np
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    cfg = MMAEConfig(num_feats=4, layer_sizes=(3, 2))
+    params = {"w": np.zeros((2, 2))}
+    ck.save_checkpoint(str(tmp_path), "best.shard0of2", params, cfg,
+                       step=10, extra={"score": 0.6, "min_or_max": "max"})
+    with pytest.raises(FileNotFoundError, match=r"missing indices \[1\]"):
+        multihost.select_global_best_checkpoint(str(tmp_path), "best")
+
+
 def test_shard_ledger_path():
     assert multihost.shard_ledger_path("r", "MMAE-d", 0, 1) == "MMAE-d"
     assert multihost.shard_ledger_path("r", "MMAE-d", 2, 4) == \

@@ -231,3 +231,19 @@ def test_sharded_export_no_collision_and_global_select(unsup, tmp_path):
     # optimize_for is the val loss (min): the smaller recorded score wins
     expect = min(ckpts, key=lambda f: metas[f]["extra"]["score"])
     assert os.path.basename(win) == expect
+
+
+def test_cls_retrain_fold0_uses_phase2_head_dropout(cls_loaders, tmp_path):
+    """_retrain_fold0 must train phase 2 under the setting's HEAD
+    keep-probability ('dropout_prob'), not the phase-1
+    'mmae_dropout_prob' — the grid path does (grid_trainer chyper
+    keep_prob), and trainer.classification_step reads cfg.dropout_prob,
+    so the resumed-winner export / test_on_test retrain the recipe that
+    actually earned the ledger score."""
+    unsup, sup = cls_loaders
+    s = wrappers.MMAEClassificationSweep(
+        unsup, sup, **cls_sweep_kwargs(tmp_path))
+    setting = dict(s.list_of_param_settings[0],
+                   mmae_dropout_prob=1.0, dropout_prob=0.5)
+    _, cfg2, _ = s._retrain_fold0(setting)
+    assert cfg2.dropout_prob == pytest.approx(0.5)

@@ -216,10 +216,17 @@ def _reconcile_cls() -> None:
           f"| ~{dispatch} |")
     lo = total + p1_inst / fast
     hi = total + p1_inst / slow + dispatch
-    bench_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_classification_r03.json")
-    wall = None
-    if os.path.exists(bench_path):
+    # reconcile against the NEWEST recorded classification bench
+    # artifact, so a fresh round's measurement (not a stale one) is
+    # what the derived expectation is checked against
+    import glob as _glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = sorted(_glob.glob(
+        os.path.join(repo, "BENCH_classification_r*.json")))
+    wall, bench_name = None, None
+    if candidates:
+        bench_path = candidates[-1]
+        bench_name = os.path.splitext(os.path.basename(bench_path))[0]
         with open(bench_path) as f:
             rec = json.load(f)
         import re as _re
@@ -228,7 +235,7 @@ def _reconcile_cls() -> None:
     print(f"\nexpected wall: {lo:.0f}-{hi:.0f} s "
           f"(phase-2 device floor {total:.0f} s)")
     if wall is not None:
-        print(f"measured wall: {wall:.1f} s (BENCH_classification_r03) "
+        print(f"measured wall: {wall:.1f} s ({bench_name}) "
               f"-> phase-2 device compute is ~{100 * total / wall:.0f}% "
               f"of the wall; the bench's 'metrics' wait is queue "
               f"blocking, not metric compute")
