@@ -217,7 +217,10 @@ def main():
                      f"{ph['train_wait']:.0f}) + probe {ph['probe']:.0f}s "
                      f"(launch {ph['probe_launch']:.0f}/wait "
                      f"{ph['probe_wait']:.0f}) + other "
-                     f"{wall - ph['train'] - ph['probe']:.0f}s; "
+                     f"{wall - ph['train'] - ph['probe']:.0f}s; NOTE "
+                     "wait = where the HOST blocked behind the tunnel's "
+                     "single device-program queue, not that phase's "
+                     "device compute; "
                      f"chip canary {canary / 1000:.0f}k inst-steps/s)"),
             "vs_baseline": round(
                 configs_per_hour / baseline_configs_per_hour, 3),

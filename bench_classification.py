@@ -127,7 +127,12 @@ def main():
                      f"{ph['metrics']:.0f}s (launch "
                      f"{ph['metrics_launch']:.0f}/wait "
                      f"{ph['metrics_wait']:.0f}) + other "
-                     f"{wall - ph['train'] - ph['metrics']:.0f}s; chip "
+                     f"{wall - ph['train'] - ph['metrics']:.0f}s; NOTE "
+                     "wait = where the HOST blocked behind the tunnel's "
+                     "single queue of device programs (mostly queued "
+                     "phase-2 training), NOT that phase's device "
+                     "compute — see tools/utilization_report.py "
+                     "--reconcile-cls; chip "
                      f"canary {canary / 1000:.0f}k inst-steps/s"),
             "vs_baseline": round(cfg_hr / baseline, 3),
             "canary_inst_steps_per_s": round(canary),

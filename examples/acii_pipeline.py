@@ -13,15 +13,12 @@ scale:
 4. Comparison baselines (SVM / RF / LR / NN) on the raw data
 
 Run: python examples/acii_pipeline.py [--steps N] [--out DIR]
-(CPU-friendly at the default scale; scale --steps up on TPU.)
+(CPU-friendly at the default scale; scale --steps up on TPU.
+Requires the package installed: `pip install -e .` from the repo root.)
 """
 
 import argparse
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
-    __file__))))
 
 import numpy as np
 import pandas as pd

@@ -33,8 +33,10 @@ import os
 import subprocess
 import sys
 
+# child "hosts" are spawned with cwd=REPO so their relative results
+# paths land in one shared dir (the package itself must be installed:
+# `pip install -e .` from the repo root)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 GRID = dict(layer_sizes=[[32, 8], [16, 8]], tie_weights=[True, False],
             dropout_probs=[1.0, 0.5], weight_penalties=[0.0],

@@ -56,6 +56,53 @@ def _pick(s: Dict[str, Any], names, default):
     return default
 
 
+def _on_tpu() -> bool:
+    """True when device 0 is a real TPU (incl. the axon tunnel backend) —
+    the Pallas mega-kernels only beat XLA on hardware; interpret mode on
+    CPU is orders of magnitude slower, so 'auto' picks XLA off-chip."""
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def resolve_backend(backend: str, cfg: MMAEConfig, tcfg: TrainConfig,
+                    spec, on_tpu: Optional[bool] = None) -> str:
+    """Resolve 'auto' to the concrete phase-1 backend
+    ('pallas'/'xla') exactly as :func:`train_grid_sharded` will — pallas
+    on real TPU when (cfg, tcfg, spec) is in the training mega-kernel's
+    shape family (ops/train_kernel.supported), else the vmapped-scan XLA
+    path.  Sweeps call this at bucket-launch time so every ledger row
+    records ``backend_used`` instead of an invisible fallback (the
+    observability the reference gets from its per-setting prints,
+    generic_wrapper.py:270-315).  ``on_tpu`` overrides platform
+    detection (tests)."""
+    if backend != "auto":
+        return backend
+    from multimodalautoencoder_tpu.ops import train_kernel
+    if on_tpu is None:
+        on_tpu = _on_tpu()
+    return ("pallas" if on_tpu and train_kernel.supported(cfg, tcfg, spec)
+            else "xla")
+
+
+def resolve_backend_two_phase(backend: str, cfg: MMAEConfig,
+                              tcfg: TrainConfig, cls_tcfg: TrainConfig,
+                              spec, n_dev: int = 1, shared: bool = False,
+                              on_tpu: Optional[bool] = None) -> str:
+    """Resolve 'auto' for the classification paths: the fused two-phase
+    kernel family (:func:`train_two_phase_sharded`) or, with
+    ``shared=True``, the phase-2-on-shared-phase-1 kernel
+    (:func:`train_phase2_shared_sharded`, which additionally requires a
+    1-device config axis)."""
+    if backend != "auto":
+        return backend
+    from multimodalautoencoder_tpu.ops import train_kernel
+    if on_tpu is None:
+        on_tpu = _on_tpu()
+    ok = (on_tpu
+          and train_kernel.supported_two_phase(cfg, tcfg, cls_tcfg, spec)
+          and (n_dev == 1 or not shared))
+    return "pallas" if ok else "xla"
+
+
 def _pad_rows(a: Array, n: int) -> Array:
     """Pad the leading (config) axis to n by duplicating the last row
     (padded rows are trimmed after the sharded computation)."""
@@ -326,11 +373,7 @@ def train_grid_sharded(mesh: "jax.sharding.Mesh", rng: Array,
     padded = mesh_lib.pad_to_multiple(C, n_dev)
     hyper = hyper.pad_to(padded)
 
-    if backend == "auto":
-        from multimodalautoencoder_tpu.ops import train_kernel
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = ("pallas" if on_tpu
-                   and train_kernel.supported(cfg, tcfg, spec) else "xla")
+    backend = resolve_backend(backend, cfg, tcfg, spec)
 
     if backend == "pallas":
         from multimodalautoencoder_tpu.ops import train_kernel
@@ -604,13 +647,8 @@ def train_two_phase_sharded(mesh: "jax.sharding.Mesh", rng: Array,
     hyper = hyper.pad_to(padded)
     chyper = chyper.pad_to(padded)
 
-    if backend == "auto":
-        from multimodalautoencoder_tpu.ops import train_kernel
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = ("pallas" if on_tpu
-                   and train_kernel.supported_two_phase(cfg, tcfg,
-                                                        cls_tcfg, spec)
-                   else "xla")
+    backend = resolve_backend_two_phase(backend, cfg, tcfg, cls_tcfg,
+                                        spec, n_dev=n_dev, shared=False)
 
     if backend == "pallas":
         from multimodalautoencoder_tpu.ops import train_kernel
@@ -667,13 +705,19 @@ def train_phase1_shared(mesh: "jax.sharding.Mesh", rng: Array,
     (setting, family) pretraining runs are distinct.  Both backends
     return the same standard headless pytree, so phase-1/phase-2
     backends mix freely (the kernels are step-exact vs XLA)."""
-    # phase 1 is dtype-invariant: compute_dtype is a phase-2 knob, and a
-    # float32 pin keeps the phase-1 executable shared across phase-2
-    # dtypes (see ops/train_kernel._phase1_cfg, kept in lockstep)
-    p1_cfg = cfg.replace(classification_layer_sizes=None,
-                         compute_dtype="float32").validate()
-    return train_grid_sharded(mesh, rng, p1_cfg, tcfg, spec, hyper_u,
-                              unsup_folded, num_steps, backend)
+    return train_grid_sharded(mesh, rng, phase1_view(cfg), tcfg, spec,
+                              hyper_u, unsup_folded, num_steps, backend)
+
+
+def phase1_view(cfg: MMAEConfig) -> MMAEConfig:
+    """The headless phase-1 view of a two-phase cfg, shared by
+    :func:`train_phase1_shared` and backend resolution
+    (:func:`resolve_backend`).  Phase 1 is dtype-invariant:
+    compute_dtype is a phase-2 knob, and a float32 pin keeps the
+    phase-1 executable shared across phase-2 dtypes (see
+    ops/train_kernel._phase1_cfg, kept in lockstep)."""
+    return cfg.replace(classification_layer_sizes=None,
+                       compute_dtype="float32").validate()
 
 
 @jax.jit
@@ -714,13 +758,8 @@ def train_phase2_shared_sharded(mesh: "jax.sharding.Mesh", rng: Array,
     idx = jnp.asarray(np.concatenate(
         [p1_map, np.full(padded - C, p1_map[-1], np.int32)]))
 
-    if backend == "auto":
-        from multimodalautoencoder_tpu.ops import train_kernel
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = ("pallas" if on_tpu and n_dev == 1
-                   and train_kernel.supported_two_phase(cfg, tcfg,
-                                                        cls_tcfg, spec)
-                   else "xla")
+    backend = resolve_backend_two_phase(backend, cfg, tcfg, cls_tcfg,
+                                        spec, n_dev=n_dev, shared=True)
 
     if backend == "pallas":
         from multimodalautoencoder_tpu.ops import train_kernel

@@ -172,7 +172,7 @@ def select_global_best_checkpoint(results_path: str, name: str,
 
     from multimodalautoencoder_tpu.train.checkpoint import checkpoint_meta
 
-    pat = re.compile(re.escape(name) + r"\.shard(\d+)of(\d+)-\d+\.npz$")
+    pat = re.compile(re.escape(name) + r"\.shard(\d+)of(\d+)-(\d+)\.npz$")
     by_gen: Dict[int, list] = {}
     for f in os.listdir(results_path):
         m = pat.match(f)
@@ -186,10 +186,18 @@ def select_global_best_checkpoint(results_path: str, name: str,
             by_gen, key=lambda n: max(
                 os.path.getmtime(os.path.join(results_path, f))
                 for f in by_gen[n]))
-    present = set()
+    # A rerun into the same results dir with a different num_steps writes a
+    # second '{name}.shardIofN-<step>.npz' per shard; only the newest export
+    # per shard index is that host's current winner, so reduce by shard
+    # first (max step, then mtime on ties) before comparing scores.
+    newest: Dict[int, tuple] = {}
     for f in by_gen[num_shards]:
-        present.add(int(pat.match(f).group(1)))
-    missing = sorted(set(range(num_shards)) - present)
+        m = pat.match(f)
+        shard, step = int(m.group(1)), int(m.group(3))
+        key = (step, os.path.getmtime(os.path.join(results_path, f)))
+        if shard not in newest or key > newest[shard][0]:
+            newest[shard] = (key, f)
+    missing = sorted(set(range(num_shards)) - set(newest))
     if missing:
         # Same contract as merge_ledger_shards: a host that crashed (or
         # never exported) must fail the selection loudly — the true
@@ -198,7 +206,7 @@ def select_global_best_checkpoint(results_path: str, name: str,
             f"checkpoint shard set of{num_shards} for {name!r} is "
             f"missing indices {missing}")
     best_path, best_signed = None, None
-    for f in by_gen[num_shards]:
+    for _, f in newest.values():
         path = os.path.join(results_path, f)
         extra = checkpoint_meta(path).get("extra") or {}
         score = extra.get("score")

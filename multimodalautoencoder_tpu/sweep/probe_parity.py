@@ -222,6 +222,11 @@ def measure_probe_agreement_at_scale(num_steps: int = 15000,
             return pd.DataFrame([{**s, **r} for s, r in
                                  zip(settings_all, rows)])
 
+        if not buckets:
+            raise ValueError(
+                "probe-parity grid produced no shape buckets — nothing to "
+                "compare (degenerate grid?)")
+
         for bi, (key, bucket) in enumerate(buckets):
             t0 = time.time()
             cfg = sweep._cfg_for_bucket(bucket[0])

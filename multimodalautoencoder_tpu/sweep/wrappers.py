@@ -510,9 +510,15 @@ class MMAESweep:
             tcfg = tcfg.replace(optimizer=str(bucket[0]["optimizer"]))
         hyper = gt.HyperStack.from_settings(bucket, cfg, tcfg)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
+        # resolve 'auto' HERE so the ledger can record which backend this
+        # bucket actually used (out-of-kernel-family shapes silently fell
+        # back to the slower XLA path before round 5); passing the
+        # resolved name down keeps the decision singular
+        backend_used = gt.resolve_backend(self.backend, cfg, tcfg,
+                                          self.spec)
         params, losses = gt.train_grid_sharded(
             self.mesh, rng, cfg, tcfg, self.spec, hyper,
-            self.folded, backend=self.backend)
+            self.folded, backend=backend_used)
         t_train = time.time()
         self.phase_seconds["train"] += t_train - t0
         self.phase_seconds["train_launch"] += t_train - t0
@@ -529,6 +535,9 @@ class MMAESweep:
         return {"bi": bi, "bucket": bucket, "t0": t0,
                 "launch_secs": now - t0, "cfg": cfg,
                 "hyper": hyper, "params": params, "losses": losses,
+                "backend_used": backend_used,
+                "inst_steps": (len(bucket) * self.num_cross_folds
+                               * tcfg.num_steps),
                 "probe": probe_dev}
 
     def _finalize_bucket(self, st, est, num_buckets: int) -> None:
@@ -571,12 +580,18 @@ class MMAESweep:
                                     dict(bucket[c_best]), host, st["cfg"])
 
         bucket_secs = st["launch_secs"] + (time.time() - t1)
+        # measured end-to-end rate over the bucket's OWN time (launch +
+        # finalize, probe included) — pairs with backend_used so an
+        # auto-mode XLA fallback is visible as a slow row, not a mystery
+        rate = st["inst_steps"] / max(bucket_secs, 1e-9)
         for c, setting in enumerate(bucket):
             row = dict(setting)
             row[self.optimize_for] = float(np.mean(losses[c]))
             if probe_rows is not None:
                 row.update(probe_rows[c])
             row["time_per_setting_s"] = bucket_secs / len(bucket)
+            row["backend_used"] = st["backend_used"]
+            row["inst_steps_per_s"] = rate
             self.ledger.append(row)
         est.record(bucket_secs, batch=len(bucket))
         if self.verbose:
@@ -1017,9 +1032,11 @@ class MMAEClassificationSweep:
         return (float(ms["dropout_prob"]), float(ms["weight_penalty"]),
                 str(ms["activation_function"]))
 
-    def _share_active(self) -> bool:
-        """Shared phase 1 is mesh/backend-gated: the pallas dedup phase-2
-        needs a 1-device config axis (train_phase2_shared_sharded)."""
+    def _share_family(self, fam_buckets) -> bool:
+        """Phase-1 sharing decision for ONE family (its list of
+        ``(key, bucket)`` pairs), mesh/backend-gated: the pallas dedup
+        phase-2 needs a 1-device config axis
+        (train_phase2_shared_sharded)."""
         if not self.share_phase1:
             return False
         n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
@@ -1030,23 +1047,32 @@ class MMAEClassificationSweep:
             # unshared fused shard_map path on ANY platform — the shared
             # phase 2 would raise (train_phase2_shared_sharded)
             return False
-        # 'auto' on a multi-device accelerator prefers the unshared fused
-        # pallas path (faster than the mesh-general XLA shared phase 2);
-        # 'xla', and 'auto' on CPU meshes, keep sharing via XLA phase 2.
-        # Known limitation: the decision is global, so on a multi-chip
-        # accelerator 'auto' also forgoes sharing for shape families
-        # OUTSIDE the kernel family (which would have taken the XLA
-        # shared path) — moot for the reference grid, whose 36 families
-        # are all kernel-supported; pass backend='xla' to force sharing
-        # for custom out-of-family grids on multi-chip meshes.
-        on_accel = jax.devices()[0].platform in ("tpu", "axon")
-        return not (on_accel and self.backend != "xla")
+        if self.backend == "xla":
+            return True
+        # 'auto' on a multi-device config axis, decided PER FAMILY
+        # (round 4 gated this globally and forfeited the dedup for
+        # out-of-kernel-family families): a family whose every bucket is
+        # in the fused two-phase kernel family takes the unshared fused
+        # pallas shard_map path (faster than the mesh-general XLA shared
+        # phase 2); any XLA-fallback bucket makes the whole family share
+        # phase 1 via the XLA path instead of paying redundant
+        # pretrains.  On CPU meshes everything resolves to XLA, so every
+        # family shares.
+        return not all(
+            gt.resolve_backend_two_phase(
+                "auto", self._cfg_for_bucket(bucket[0]), self.tcfg,
+                self.cls_tcfg, self.spec, n_dev=n_dev, shared=False)
+            == "pallas"
+            for _, bucket in fam_buckets)
 
     def _prepare_families(self, buckets):
         """Group buckets by phase-1 family (preserving first-seen family
-        order) and precompute each family's unique MMAE sub-settings —
-        its phase-1 stack is trained once and shared by all its
-        buckets."""
+        order) and precompute each sharing family's unique MMAE
+        sub-settings — its phase-1 stack is trained once and shared by
+        all its buckets.  Sharing is decided per family
+        (:meth:`_share_family`); a non-sharing family gets no
+        ``_families`` entry, so its buckets take the unshared fused
+        path in :meth:`_launch_bucket`."""
         order, fam_buckets = [], {}
         for kb in buckets:
             fk = self._family_key(kb[1][0])
@@ -1056,6 +1082,8 @@ class MMAEClassificationSweep:
             fam_buckets[fk].append(kb)
         self._families = {}
         for fi, fk in enumerate(order):
+            if not self._share_family(fam_buckets[fk]):
+                continue
             uniq, index = [], {}
             for _, bucket in fam_buckets[fk]:
                 for s in bucket:
@@ -1090,15 +1118,31 @@ class MMAEClassificationSweep:
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), bi)
         fam = (self._families.get(self._family_key(bucket[0]))
                if self._families else None)
+        n_dev = self.mesh.shape[mesh_lib.CONFIG_AXIS]
+        K = self.num_cross_folds
         if fam is not None:
+            # resolve 'auto' per phase so the ledger records what ran
+            # (and the decision is made exactly once)
+            p1_backend = gt.resolve_backend(
+                self.backend, gt.phase1_view(cfg), self.tcfg, self.spec)
+            p2_backend = gt.resolve_backend_two_phase(
+                self.backend, cfg, self.tcfg, self.cls_tcfg, self.spec,
+                n_dev=n_dev, shared=True)
+            backend_used = (p1_backend if p1_backend == p2_backend
+                            else f"p1-{p1_backend}/p2-{p2_backend}")
+            # rate denominator: this bucket's phase-2 steps, plus the
+            # family's deduped pretraining if THIS bucket launched it
+            # (later buckets of the family reuse it for free)
+            inst_steps = len(bucket) * K * self.cls_tcfg.num_steps
             if fam["launched"] is None:
+                inst_steps += len(fam["uniq"]) * K * self.tcfg.num_steps
                 hyper_u = gt.HyperStack.from_settings(fam["uniq"], cfg,
                                                       self.tcfg)
                 rng_f = jax.random.fold_in(
                     jax.random.PRNGKey(self.seed + 101), fam["fi"])
                 fam["launched"] = gt.train_phase1_shared(
                     self.mesh, rng_f, cfg, self.tcfg, self.spec,
-                    hyper_u, self.unsup_folded, backend=self.backend)
+                    hyper_u, self.unsup_folded, backend=p1_backend)
             params_u, losses_u = fam["launched"]
             p1_map = np.asarray(
                 [fam["index"][self._p1_key(ms)] for ms in mmae_settings],
@@ -1106,14 +1150,19 @@ class MMAEClassificationSweep:
             params, preds = gt.train_phase2_shared_sharded(
                 self.mesh, rng, cfg, self.tcfg, self.cls_tcfg,
                 self.spec, params_u, p1_map, hyper, chyper,
-                self.sup_folded, backend=self.backend)
+                self.sup_folded, backend=p2_backend)
             losses = losses_u
         else:
             p1_map = None
+            backend_used = gt.resolve_backend_two_phase(
+                self.backend, cfg, self.tcfg, self.cls_tcfg, self.spec,
+                n_dev=n_dev, shared=False)
+            inst_steps = len(bucket) * K * (self.tcfg.num_steps
+                                            + self.cls_tcfg.num_steps)
             params, losses, preds = gt.train_two_phase_sharded(
                 self.mesh, rng, cfg, self.tcfg, self.cls_tcfg, self.spec,
                 hyper, chyper, self.unsup_folded, self.sup_folded,
-                backend=self.backend)
+                backend=backend_used)
         t_train = time.time()
         self.phase_seconds["train"] += t_train - t0
         self.phase_seconds["train_launch"] += t_train - t0
@@ -1125,6 +1174,7 @@ class MMAEClassificationSweep:
         self.phase_seconds["metrics_launch"] += now - t_train
         return {"bi": bi, "bucket": bucket, "launch_secs": now - t0,
                 "losses": losses, "p1_map": p1_map,
+                "backend_used": backend_used, "inst_steps": inst_steps,
                 "family": (self._family_key(bucket[0])
                            if fam is not None else None),
                 # two-phase params held on device only when the sweep
@@ -1153,8 +1203,13 @@ class MMAEClassificationSweep:
         host = jax.tree_util.tree_map(
             lambda a: np.asarray(a[c_best, 0]), st["params"])
         setting = dict(st["bucket"][c_best])
+        # Exported-cfg convention (shared with _retrain_fold0's cfg2):
+        # dropout_prob persists the phase-2 HEAD keep-probability
+        # ('dropout_prob'), not the phase-1 'mmae_dropout_prob' — inert
+        # for fill/embed (keep_prob=1 at inference) but unambiguous for
+        # a later training resume from the exported checkpoint.
         cfg = self._cfg_for_bucket(setting).replace(
-            dropout_prob=float(setting.get("mmae_dropout_prob", 1.0)),
+            dropout_prob=float(setting.get("dropout_prob", 1.0)),
             weight_penalty=float(setting.get("mmae_weight_penalty",
                                              0.0)),
             activation=setting.get("mmae_activation_function", "relu"),
@@ -1184,12 +1239,18 @@ class MMAEClassificationSweep:
         self.phase_seconds["metrics_wait"] += time.time() - t2
 
         bucket_secs = st["launch_secs"] + (time.time() - t1)
+        # measured end-to-end rate over the bucket's OWN time; the
+        # denominator counts the family's deduped pretraining only in
+        # the bucket that launched it (see _launch_bucket)
+        rate = st["inst_steps"] / max(bucket_secs, 1e-9)
         rows = []
         for c, setting in enumerate(bucket):
             row = dict(setting)
             row["val_mmae_loss"] = float(np.mean(losses[c]))
             row.update(metric_rows[c])
             row["time_per_setting_s"] = bucket_secs / len(bucket)
+            row["backend_used"] = st["backend_used"]
+            row["inst_steps_per_s"] = rate
             rows.append(row)
             self.ledger.append(row)
         if self.save_best_params and st.get("params") is not None:
@@ -1214,10 +1275,11 @@ class MMAEClassificationSweep:
                    if not (self.ledger.started_from
                            and self.ledger.already_done(s))]
         buckets = grid_lib.bucket_settings(pending)
-        if self._share_active():
-            # group buckets by phase-1 family so each family's shared
-            # pretraining launches once and is freed as soon as its
-            # last bucket finalizes
+        if self.share_phase1:
+            # group buckets by phase-1 family (sharing decided per
+            # family inside) so each sharing family's pretraining
+            # launches once and is freed as soon as its last bucket
+            # finalizes
             buckets = self._prepare_families(buckets)
         else:
             self._families = {}

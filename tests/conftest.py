@@ -59,6 +59,15 @@ def _vm_map_guard():
         gc.collect()
 
 
+def pytest_sessionfinish(session, exitstatus):
+    """Report this process's final map count so the sharded runner
+    (tools/run_tests.py) can log per-shard headroom vs the kernel's
+    vm.max_map_count ceiling (65530 default)."""
+    if os.environ.get("MMAE_LOG_MAPS"):
+        sys.stderr.write(
+            f"\n[maps] final memory mappings: {_num_memory_maps()}\n")
+
+
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)

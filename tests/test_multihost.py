@@ -72,6 +72,40 @@ def test_select_global_best_checkpoint(tmp_path):
         multihost.select_global_best_checkpoint(str(tmp_path), "absent")
 
 
+def test_select_global_best_checkpoint_stale_step(tmp_path):
+    """A rerun into the same results dir with a different num_steps
+    leaves both '{name}.shardIofN-<step>.npz' files in place; only the
+    NEWEST export per shard index (max step) is that host's current
+    winner, so a stale higher-scoring earlier-step export must not be
+    crowned."""
+    import numpy as np
+
+    from multimodalautoencoder_tpu.config import MMAEConfig
+    from multimodalautoencoder_tpu.train import checkpoint as ck
+
+    cfg = MMAEConfig(num_feats=4, layer_sizes=(3, 2))
+    params = {"w": np.zeros((2, 2))}
+    # first run (step 10): shard 0 scored 0.99 — then a rerun at step 20
+    # in the same dir demoted it to 0.5 while shard 1 scored 0.7
+    ck.save_checkpoint(str(tmp_path), "best.shard0of2", params, cfg,
+                       step=10, extra={"score": 0.99, "min_or_max": "max"})
+    ck.save_checkpoint(str(tmp_path), "best.shard0of2", params, cfg,
+                       step=20, extra={"score": 0.5, "min_or_max": "max"})
+    ck.save_checkpoint(str(tmp_path), "best.shard1of2", params, cfg,
+                       step=20, extra={"score": 0.7, "min_or_max": "max"})
+    win = multihost.select_global_best_checkpoint(str(tmp_path), "best")
+    assert win.endswith("best.shard1of2-20.npz")
+    # the rerun may also leave a shard with ONLY its old-step export
+    # (host crashed before exporting): its newest file still counts, so
+    # the selection must not demand step-uniformity across shards
+    ck.save_checkpoint(str(tmp_path), "mix.shard0of2", params, cfg,
+                       step=10, extra={"score": 0.9, "min_or_max": "max"})
+    ck.save_checkpoint(str(tmp_path), "mix.shard1of2", params, cfg,
+                       step=20, extra={"score": 0.7, "min_or_max": "max"})
+    win = multihost.select_global_best_checkpoint(str(tmp_path), "mix")
+    assert win.endswith("mix.shard0of2-10.npz")
+
+
 def test_select_global_best_checkpoint_incomplete_generation(tmp_path):
     """A shard set missing a host's checkpoint must raise (same
     contract as merge_ledger_shards): the true winner may live on the

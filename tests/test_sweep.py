@@ -94,6 +94,11 @@ def test_mmae_sweep_end_to_end(loaders, tmp_path):
     # phase accounting covers the run (train + probe both nonzero)
     assert sweep.phase_seconds["train"] > 0
     assert sweep.phase_seconds["probe"] > 0
+    # backend observability: every row records which backend actually
+    # trained it (auto resolves to xla on the CPU test mesh) plus the
+    # measured end-to-end rate, so auto-mode fallbacks are visible
+    assert (df["backend_used"] == "xla").all()
+    assert (df["inst_steps_per_s"] > 0).all()
 
 
 def test_mmae_sweep_resume_skips_done(loaders, tmp_path):
@@ -371,7 +376,9 @@ def test_classification_shared_phase1_semantics(loaders, tmp_path):
     sweep = wrappers.MMAEClassificationSweep(
         unsup, sup, results_path=str(tmp_path / "shared"), **kwargs)
     assert sweep.num_settings == 8
-    assert sweep._share_active()
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+    assert sweep._share_family(
+        grid_lib.bucket_settings(sweep.list_of_param_settings))
     sweep.run()
     df = pd.read_csv(sweep.ledger.path, index_col=0)
     assert len(df) == 8
@@ -383,6 +390,9 @@ def test_classification_shared_phase1_semantics(loaders, tmp_path):
         assert grp["val_mmae_loss"].nunique() == 1, dp
     assert df["val_mmae_loss"].nunique() == 2
     assert df["val_acc"].between(0, 1).all()
+    # per-row backend + measured-rate observability (auto -> xla on CPU)
+    assert (df["backend_used"] == "xla").all()
+    assert (df["inst_steps_per_s"] > 0).all()
 
     sweep_f = wrappers.MMAEClassificationSweep(
         unsup, sup, results_path=str(tmp_path / "faithful"),
@@ -395,11 +405,13 @@ def test_classification_shared_phase1_semantics(loaders, tmp_path):
     assert sorted(df.columns) == sorted(df_f.columns)
 
 
-def test_share_active_gate_forced_pallas_multidevice(loaders, tmp_path):
+def test_share_family_gate_forced_pallas_multidevice(loaders, tmp_path):
     """A forced pallas backend on a multi-device config axis must fall
     back to the UNSHARED fused path on any platform: the shared phase 2
     (train_phase2_shared_sharded) requires a 1-device config axis and
     would raise.  'auto'/'xla' keep sharing on the CPU test mesh."""
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+
     unsup, sup = loaders
     kwargs = dict(
         mmae_layer_sizes=[[12, 6]], classification_layer_sizes=[[8]],
@@ -415,7 +427,42 @@ def test_share_active_gate_forced_pallas_multidevice(loaders, tmp_path):
             unsup, sup, results_path=str(tmp_path / backend),
             backend=backend, **kwargs)
         assert sweep.mesh.shape[mesh.CONFIG_AXIS] > 1    # default mesh
-        assert sweep._share_active() is share, backend
+        buckets = grid_lib.bucket_settings(sweep.list_of_param_settings)
+        assert sweep._share_family(buckets) is share, backend
+
+
+def test_share_family_is_per_family_on_multichip_auto(loaders, tmp_path,
+                                                      monkeypatch):
+    """'auto' on a multi-chip accelerator mesh decides sharing PER
+    phase-1 family (round 4 gated globally and forfeited the dedup for
+    every family): kernel-supported families keep the unshared fused
+    pallas path, while a family OUTSIDE the kernel's shape family (here
+    a 3-layer MMAE encoder) still dedups its pretraining via the XLA
+    shared path."""
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    from multimodalautoencoder_tpu.sweep import grid as grid_lib
+
+    monkeypatch.setattr(gt, "_on_tpu", lambda: True)
+    unsup, sup = loaders
+    sweep = wrappers.MMAEClassificationSweep(
+        unsup, sup, results_path=str(tmp_path),
+        mmae_layer_sizes=[[12, 6], [12, 8, 4]],
+        classification_layer_sizes=[[8], [6, 4]],
+        tie_weights=[True], mmae_dropout_probs=[1.0, 0.5],
+        mmae_weight_penalties=[0.0], mmae_activation_funcs=["relu"],
+        mmae_test_variational=[False], weight_penalties=[0.0],
+        dropout_probs=[1.0], activation_funcs=["relu"],
+        mmae_num_steps=5, classification_num_steps=5,
+        num_cross_folds=2, verbose=False)
+    assert sweep.mesh.shape[mesh.CONFIG_AXIS] > 1        # default mesh
+    buckets = grid_lib.bucket_settings(sweep.list_of_param_settings)
+    sweep._prepare_families(buckets)
+    shared_archs = {fk[0] for fk in sweep._families}
+    assert (12, 8, 4) in shared_archs        # out-of-family: dedups
+    assert (12, 6) not in shared_archs       # kernel family: fused path
+    # and the deduped family's unique MMAE sub-settings are indexed
+    fam = sweep._families[next(iter(sweep._families))]
+    assert len(fam["uniq"]) == 2             # two mmae_dropout_probs
 
 
 def test_already_done_numeric_after_csv_roundtrip(tmp_path):

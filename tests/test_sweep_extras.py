@@ -175,6 +175,11 @@ def test_cls_save_best_params(cls_loaders, tmp_path):
     assert float(extra["setting"]["dropout_prob"]) == float(
         best["dropout_prob"])
     assert extra["score"] == pytest.approx(float(best["val_acc"]))
+    # exported-cfg convention (shared by the tracked-winner and resumed
+    # retrain paths): cfg.dropout_prob persists the phase-2 HEAD
+    # keep-probability, so a training resume from the export reproduces
+    # the recipe that earned the ledger score
+    assert cfg.dropout_prob == pytest.approx(float(best["dropout_prob"]))
 
 
 def test_export_best_params_resumed(unsup, tmp_path):

@@ -135,6 +135,42 @@ def test_supported_predicate():
     assert not tk.supported(over, tf32, spec)
 
 
+def test_resolve_backend_records_fallbacks():
+    """The sweep-facing resolver mirrors the auto branch exactly:
+    pallas on TPU for kernel-family shapes, XLA for out-of-family
+    shapes (3-layer encoders, non-Adam) and off-chip; explicit names
+    pass through untouched."""
+    cfg, tcfg, spec, _, _, _ = make(True)
+    assert gt.resolve_backend("auto", cfg, tcfg, spec,
+                              on_tpu=True) == "pallas"
+    assert gt.resolve_backend("auto", cfg, tcfg, spec,
+                              on_tpu=False) == "xla"
+    assert gt.resolve_backend(
+        "auto", cfg.replace(layer_sizes=(8, 4, 2)), tcfg, spec,
+        on_tpu=True) == "xla"
+    import dataclasses
+    tsgd = dataclasses.replace(tcfg, optimizer="sgd")
+    assert gt.resolve_backend("auto", cfg, tsgd, spec,
+                              on_tpu=True) == "xla"
+    assert gt.resolve_backend("xla", cfg, tcfg, spec,
+                              on_tpu=True) == "xla"
+    assert gt.resolve_backend("pallas", cfg, tcfg, spec,
+                              on_tpu=False) == "pallas"
+    # two-phase: kernel family on 1 device -> pallas; shared phase 2 on
+    # a multi-device config axis -> xla; unshared fused stays pallas
+    cfg2 = cfg.replace(classification_layer_sizes=(4,),
+                       num_labels=2).validate()
+    assert gt.resolve_backend_two_phase(
+        "auto", cfg2, tcfg, tcfg, spec, n_dev=1, shared=True,
+        on_tpu=True) == "pallas"
+    assert gt.resolve_backend_two_phase(
+        "auto", cfg2, tcfg, tcfg, spec, n_dev=4, shared=True,
+        on_tpu=True) == "xla"
+    assert gt.resolve_backend_two_phase(
+        "auto", cfg2, tcfg, tcfg, spec, n_dev=4, shared=False,
+        on_tpu=True) == "pallas"
+
+
 def test_streamed_moments_single_step_exact():
     """The HBM-streamed-moment path computes the identical update."""
     cfg, tcfg, spec, X, folded, hyper = make(False)

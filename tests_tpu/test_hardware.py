@@ -230,6 +230,87 @@ def test_two_phase_kernel_learns(variational):
 
 
 @requires_tpu
+def test_sweep_export_serve_product_story(tmp_path):
+    """The product's headline end-to-end flow ON THE CHIP: train an MMAE
+    sweep (auto backend -> Pallas kernel) with save_best_params=True,
+    checkpoint the winner, then repair a file with `cli fill
+    --checkpoint` — the reference's actual serve use
+    (jobs_to_run.txt:9-11, multimodal_autoencoder.py:1167-1187).
+    Asserts the MMAE_filled-*.csv contract: ONLY the missing modality
+    span is overwritten."""
+    import pandas as pd
+
+    from multimodalautoencoder_tpu import cli
+    from multimodalautoencoder_tpu.data import synthetic
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    from multimodalautoencoder_tpu.sweep import wrappers
+
+    path = synthetic.write_csv(str(tmp_path / "serve.csv"),
+                               num_rows=220, seed=11)
+    unsup = DataLoader(path, supervised=False, cross_validation=True,
+                       suppress_output=True, normalize_and_fill=True,
+                       fill_gaps_with=-1.0)
+    sweep = wrappers.MMAESweep(
+        unsup, layer_sizes=[[16, 6], [12, 6]], tie_weights=[True],
+        dropout_probs=[1.0], weight_penalties=[0.0],
+        activation_funcs=["softsign"], test_variational=False,
+        results_path=str(tmp_path), num_steps=200, num_cross_folds=2,
+        probe=None, save_best_params=True, verbose=False)
+    sweep.sweep_all_parameters()
+
+    led = pd.read_csv(sweep.ledger.path, index_col=0)
+    assert len(led) == 2
+    # round-5 observability, proven on hardware: auto resolved to the
+    # Pallas kernel for this in-family grid and recorded it per row
+    assert (led["backend_used"] == "pallas").all()
+    assert (led["inst_steps_per_s"] > 0).all()
+
+    ckpts = [f for f in os.listdir(tmp_path) if f.startswith("best_mmae")
+             and f.endswith(".npz")]
+    assert len(ckpts) == 1, ckpts
+    ckpt = os.path.join(str(tmp_path), ckpts[0])
+
+    # serve: craft a pre-cleaned input whose rows 0-5 are missing one
+    # whole modality (raw NaN span -> the loader's -1 sentinel) and
+    # repair it with the sweep winner.  `cli fill --normalize-and-fill`
+    # operates on the LOADER's normalized frame (cli.py cmd_fill passes
+    # df=dl.df), so the contract is asserted against that view.
+    df = pd.read_csv(path, index_col=0)
+    df = df.fillna(0.0)                 # pre-cleaned, per the reference
+    s, e = unsup.modality_table.span(1)
+    cols = [df.columns.get_loc(f) for f in unsup.wanted_feats[s:e]]
+    df.iloc[0:5, cols] = np.nan
+    blank_idx = list(df.index[0:5])
+    inp = str(tmp_path / "in.csv")
+    df.to_csv(inp)
+
+    rc = cli.main(["fill", inp, "--checkpoint", ckpt,
+                   "--normalize-and-fill"])
+    assert rc == 0
+    out = os.path.join(str(tmp_path), "MMAE_filled-in.csv")
+    assert os.path.exists(out)
+    filled = pd.read_csv(out, index_col=0)
+    base_dl = DataLoader(inp, supervised=False, suppress_output=True,
+                         normalize_and_fill=True, fill_gaps_with=-1.0)
+    feats = base_dl.wanted_feats
+    base = base_dl.df[feats].to_numpy(float)
+    # the loader reorders rows, so locate the blanked rows by index label
+    pos = [base_dl.df.index.get_loc(i) for i in blank_idx]
+    assert (base[pos][:, s:e] == -1.0).all()    # sentinel reached input
+    fa = filled[feats].to_numpy(float)
+    span = np.zeros_like(fa, bool)
+    span[pos, s:e] = True
+    blanked = fa[span]
+    assert np.isfinite(blanked).all()
+    assert not (blanked == -1.0).any()          # missing span repaired
+    # only missing spans move: everything else equals the loader's
+    # normalized frame
+    np.testing.assert_allclose(fa[~span], base[~span])
+    assert (filled["dataset"].to_numpy()
+            == base_dl.df["dataset"].to_numpy()).all()
+
+
+@requires_tpu
 def test_probe_rff_agrees_with_exact():
     """The RFF primal probe (sweep default) and the exact kernel-ridge
     dual must agree on a separable embedding: both near-perfect, within

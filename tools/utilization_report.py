@@ -41,10 +41,30 @@ CLS_RECORDED_RATES = {
 }
 
 
+# XLA grid-trainer rates for shapes OUTSIDE the kernel family (3-layer
+# encoders) and for one in-family shape on both backends — the measured
+# price of an auto-mode fallback (ledger column `backend_used`).
+# Measured with --measure-xla-fallback.
+XLA_FALLBACK_RECORDED = {
+    "xla tied 300x100 @300f (kernel-family shape)": None,
+    "xla 3-layer tied 300x200x100 @300f": None,
+    "xla 3-layer untied 1000x500x100 @1000f": None,
+}
+
+
 def _cfg_for(name: str):
     from multimodalautoencoder_tpu.config import MMAEConfig
 
-    if name.startswith("tied 300"):
+    if "3-layer" in name:
+        if "1000x500x100" in name:
+            return MMAEConfig(num_feats=1000,
+                              layer_sizes=(1000, 500, 100),
+                              tie_weights=False,
+                              loss="sigmoid_cross_entropy").validate()
+        return MMAEConfig(num_feats=300, layer_sizes=(300, 200, 100),
+                          tie_weights=True,
+                          loss="sigmoid_cross_entropy").validate()
+    if "tied 300" in name:
         return MMAEConfig(num_feats=300, layer_sizes=(300, 100),
                           tie_weights=True,
                           loss="sigmoid_cross_entropy").validate()
@@ -86,6 +106,42 @@ def _measure(name: str, tcfg) -> float:
     run(1)
     n_inst = hyper.num_configs * folded.train_x.shape[0]
     return n_inst * 1500 / (time.perf_counter() - t0)
+
+
+def _measure_xla(name: str, tcfg, steps: int = 1500) -> float:
+    """inst-steps/s of the XLA grid trainer (vmapped-scan path the
+    auto backend falls back to for out-of-kernel-family shapes) —
+    12 settings x 5 folds, warm second pass timed."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from multimodalautoencoder_tpu.data.modalities import ModalityTable
+    from multimodalautoencoder_tpu.models.corruption import NoiseSpec
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+
+    cfg = _cfg_for(name)
+    F = cfg.num_feats
+    table = ModalityTable.uniform(5, F // 5,
+                                  names=("call", "location", "screen",
+                                         "sms", "survey"))
+    spec = NoiseSpec.build(cfg, table)
+    X = np.random.default_rng(0).random((1600, F)).astype(np.float32)
+    folded = gt.FoldedData.from_ragged([X[:1280]] * 5, [X[1280:]] * 5)
+    hyper = gt.HyperStack.from_settings([{"dropout_prob": 1.0}] * 12,
+                                        cfg, tcfg)
+
+    def run(key):
+        _, l = gt.train_grid_jit(jax.random.PRNGKey(key), cfg, tcfg,
+                                 spec, hyper, folded, steps)
+        np.asarray(l)
+
+    run(0)
+    t0 = time.perf_counter()
+    run(1)
+    n_inst = hyper.num_configs * folded.train_x.shape[0]
+    return n_inst * steps / (time.perf_counter() - t0)
 
 
 def _cls_cfg_for(name: str):
@@ -251,10 +307,27 @@ def main():
     ap.add_argument("--reconcile-cls", action="store_true",
                     help="reconcile the measured classification-job wall "
                          "against the recorded phase-2 rates (no TPU)")
+    ap.add_argument("--measure-xla-fallback", action="store_true",
+                    help="measure the XLA grid trainer's rates for "
+                         "out-of-kernel-family (3-layer) shapes and one "
+                         "in-family shape, on the attached TPU")
     args = ap.parse_args()
 
     if args.reconcile_cls:
         _reconcile_cls()
+        return
+
+    if args.measure_xla_fallback:
+        from multimodalautoencoder_tpu.config import TrainConfig
+
+        tcfg = TrainConfig(learning_rate=1e-3, batch_size=20,
+                           num_steps=15000, clip_gradients=False,
+                           optimizer_state_dtype="bfloat16")
+        print("| shape (XLA grid trainer) | inst-steps/s |")
+        print("|---|---|")
+        for name in XLA_FALLBACK_RECORDED:
+            rate = _measure_xla(name, tcfg)
+            print(f"| {name} | {rate / 1000:.1f}k |", flush=True)
         return
 
     from multimodalautoencoder_tpu.config import TrainConfig
