@@ -91,7 +91,10 @@ def resolve_backend_two_phase(backend: str, cfg: MMAEConfig,
     kernel family (:func:`train_two_phase_sharded`) or, with
     ``shared=True``, the phase-2-on-shared-phase-1 kernel
     (:func:`train_phase2_shared_sharded`, which additionally requires a
-    1-device config axis)."""
+    1-device config axis).  Same observability purpose as
+    :func:`resolve_backend` (the reference's per-setting prints,
+    generic_wrapper.py:270-315, applied to its two-phase recipe,
+    autoencoder_classification_wrapper.py:195-258)."""
     if backend != "auto":
         return backend
     from multimodalautoencoder_tpu.ops import train_kernel
@@ -710,7 +713,9 @@ def train_phase1_shared(mesh: "jax.sharding.Mesh", rng: Array,
 
 
 def phase1_view(cfg: MMAEConfig) -> MMAEConfig:
-    """The headless phase-1 view of a two-phase cfg, shared by
+    """The headless phase-1 view of a two-phase cfg — the MMAE the
+    reference pretrains before attaching the classifier head
+    (autoencoder_classification_wrapper.py:195-227) — shared by
     :func:`train_phase1_shared` and backend resolution
     (:func:`resolve_backend`).  Phase 1 is dtype-invariant:
     compute_dtype is a phase-2 knob, and a float32 pin keeps the

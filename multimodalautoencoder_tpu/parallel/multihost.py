@@ -194,7 +194,10 @@ def select_global_best_checkpoint(results_path: str, name: str,
     for f in by_gen[num_shards]:
         m = pat.match(f)
         shard, step = int(m.group(1)), int(m.group(3))
-        key = (step, os.path.getmtime(os.path.join(results_path, f)))
+        # mtime-primary: "newest" means the most recent RUN's export —
+        # a rerun may use a SMALLER num_steps, so step must only break
+        # mtime ties (same-second filesystems), never beat a newer file
+        key = (os.path.getmtime(os.path.join(results_path, f)), step)
         if shard not in newest or key > newest[shard][0]:
             newest[shard] = (key, f)
     missing = sorted(set(range(num_shards)) - set(newest))

@@ -75,9 +75,9 @@ def test_select_global_best_checkpoint(tmp_path):
 def test_select_global_best_checkpoint_stale_step(tmp_path):
     """A rerun into the same results dir with a different num_steps
     leaves both '{name}.shardIofN-<step>.npz' files in place; only the
-    NEWEST export per shard index (max step) is that host's current
-    winner, so a stale higher-scoring earlier-step export must not be
-    crowned."""
+    NEWEST export per shard index (mtime-primary — the rerun's step may
+    be smaller OR larger) is that host's current winner, so a stale
+    higher-scoring earlier-run export must not be crowned."""
     import numpy as np
 
     from multimodalautoencoder_tpu.config import MMAEConfig
@@ -87,19 +87,37 @@ def test_select_global_best_checkpoint_stale_step(tmp_path):
     params = {"w": np.zeros((2, 2))}
     # first run (step 10): shard 0 scored 0.99 — then a rerun at step 20
     # in the same dir demoted it to 0.5 while shard 1 scored 0.7
-    ck.save_checkpoint(str(tmp_path), "best.shard0of2", params, cfg,
-                       step=10, extra={"score": 0.99, "min_or_max": "max"})
+    stale = ck.save_checkpoint(
+        str(tmp_path), "best.shard0of2", params, cfg, step=10,
+        extra={"score": 0.99, "min_or_max": "max"})
+    os.utime(stale, (1000, 1000))
     ck.save_checkpoint(str(tmp_path), "best.shard0of2", params, cfg,
                        step=20, extra={"score": 0.5, "min_or_max": "max"})
     ck.save_checkpoint(str(tmp_path), "best.shard1of2", params, cfg,
                        step=20, extra={"score": 0.7, "min_or_max": "max"})
     win = multihost.select_global_best_checkpoint(str(tmp_path), "best")
     assert win.endswith("best.shard1of2-20.npz")
+    # the rerun may equally use a SMALLER num_steps: the newer file must
+    # win even though its step number is lower
+    stale = ck.save_checkpoint(
+        str(tmp_path), "down.shard0of2", params, cfg, step=15000,
+        extra={"score": 0.99, "min_or_max": "max"})
+    os.utime(stale, (1000, 1000))
+    ck.save_checkpoint(str(tmp_path), "down.shard0of2", params, cfg,
+                       step=10000,
+                       extra={"score": 0.5, "min_or_max": "max"})
+    ck.save_checkpoint(str(tmp_path), "down.shard1of2", params, cfg,
+                       step=10000,
+                       extra={"score": 0.7, "min_or_max": "max"})
+    win = multihost.select_global_best_checkpoint(str(tmp_path), "down")
+    assert win.endswith("down.shard1of2-10000.npz")
     # the rerun may also leave a shard with ONLY its old-step export
     # (host crashed before exporting): its newest file still counts, so
     # the selection must not demand step-uniformity across shards
-    ck.save_checkpoint(str(tmp_path), "mix.shard0of2", params, cfg,
-                       step=10, extra={"score": 0.9, "min_or_max": "max"})
+    old = ck.save_checkpoint(
+        str(tmp_path), "mix.shard0of2", params, cfg, step=10,
+        extra={"score": 0.9, "min_or_max": "max"})
+    os.utime(old, (1000, 1000))
     ck.save_checkpoint(str(tmp_path), "mix.shard1of2", params, cfg,
                        step=20, extra={"score": 0.7, "min_or_max": "max"})
     win = multihost.select_global_best_checkpoint(str(tmp_path), "mix")

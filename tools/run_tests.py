@@ -45,7 +45,7 @@ def make_shards(num_shards: int):
     return [sorted(s) for s in shards if s]
 
 
-def run_shard(i: int, files, extra, jobs: int):
+def run_shard(i: int, files, extra):
     env = dict(os.environ, MMAE_LOG_MAPS="1")
     cmd = [sys.executable, "-m", "pytest", "-q", *files, *extra]
     t0 = time.time()
@@ -82,14 +82,14 @@ def main(argv=None) -> int:
         for i, files in enumerate(shards):
             print(f"shard {i + 1}/{len(shards)}: {len(files)} files ...",
                   flush=True)
-            res = run_shard(i, files, args.extra, args.jobs)
+            res = run_shard(i, files, args.extra)
             results.append(res)
             print(f"  -> {res['summary']}  "
                   f"[{res['secs']:.0f}s, maps={res['maps']}]", flush=True)
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=args.jobs) as ex:
-            futs = [ex.submit(run_shard, i, files, args.extra, args.jobs)
+            futs = [ex.submit(run_shard, i, files, args.extra)
                     for i, files in enumerate(shards)]
             for f in futs:
                 res = f.result()

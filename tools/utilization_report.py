@@ -44,11 +44,12 @@ CLS_RECORDED_RATES = {
 # XLA grid-trainer rates for shapes OUTSIDE the kernel family (3-layer
 # encoders) and for one in-family shape on both backends — the measured
 # price of an auto-mode fallback (ledger column `backend_used`).
-# Measured with --measure-xla-fallback.
+# Measured with --measure-xla-fallback, 2026-08-20, healthy chip
+# (canary 252k before and after).
 XLA_FALLBACK_RECORDED = {
-    "xla tied 300x100 @300f (kernel-family shape)": None,
-    "xla 3-layer tied 300x200x100 @300f": None,
-    "xla 3-layer untied 1000x500x100 @1000f": None,
+    "xla tied 300x100 @300f (kernel-family shape)": 137_200,
+    "xla 3-layer tied 300x200x100 @300f": 106_900,
+    "xla 3-layer untied 1000x500x100 @1000f": 7_400,
 }
 
 
@@ -64,7 +65,7 @@ def _cfg_for(name: str):
         return MMAEConfig(num_feats=300, layer_sizes=(300, 200, 100),
                           tie_weights=True,
                           loss="sigmoid_cross_entropy").validate()
-    if "tied 300" in name:
+    if "untied" not in name and "tied 300" in name:
         return MMAEConfig(num_feats=300, layer_sizes=(300, 100),
                           tie_weights=True,
                           loss="sigmoid_cross_entropy").validate()
