@@ -311,6 +311,45 @@ def test_sweep_export_serve_product_story(tmp_path):
 
 
 @requires_tpu
+def test_mixed_backend_grid_records_fallback(tmp_path):
+    """A grid that MIXES kernel-family and out-of-family buckets on the
+    chip: the swept-optimizer axis (generic_wrapper.py:233-239) puts the
+    adam bucket in the Pallas kernel family and the sgd bucket outside
+    it (the kernel hard-codes Adam), so auto-mode must run them on
+    different backends and the ledger must say which — the fallback
+    observability round 5 added (no silent 2-6x slowdowns)."""
+    import pandas as pd
+
+    from multimodalautoencoder_tpu.data import synthetic
+    from multimodalautoencoder_tpu.data.loader import DataLoader
+    from multimodalautoencoder_tpu.sweep import wrappers
+
+    path = synthetic.write_csv(str(tmp_path / "mix.csv"),
+                               num_rows=200, seed=13)
+    unsup = DataLoader(path, supervised=False, cross_validation=True,
+                       suppress_output=True, normalize_and_fill=True,
+                       fill_gaps_with=-1.0)
+    # lr 1e-4: plain SGD diverges to NaN at the adam-ish 1e-3 on the
+    # summed sigmoid-CE (the sweep records the NaN row per its
+    # degradation contract, but this test wants both losses finite)
+    sweep = wrappers.MMAESweep(
+        unsup, layer_sizes=[[16, 6]], tie_weights=[True],
+        dropout_probs=[1.0], weight_penalties=[0.0],
+        activation_funcs=["relu"], test_variational=False,
+        optimizers=["adam", "sgd"], learning_rate=1e-4,
+        results_path=str(tmp_path), num_steps=150, num_cross_folds=2,
+        probe=None, verbose=False)
+    assert sweep.num_settings == 2
+    sweep.sweep_all_parameters()
+    df = pd.read_csv(sweep.ledger.path, index_col=0)
+    by_opt = df.set_index("optimizer")["backend_used"]
+    assert by_opt["adam"] == "pallas"
+    assert by_opt["sgd"] == "xla"
+    assert (df["inst_steps_per_s"] > 0).all()
+    assert df["val_sigmoid_cross_entropy"].notna().all()
+
+
+@requires_tpu
 def test_probe_rff_agrees_with_exact():
     """The RFF primal probe (sweep default) and the exact kernel-ridge
     dual must agree on a separable embedding: both near-perfect, within
