@@ -155,19 +155,53 @@ def needs_streaming(cfg: MMAEConfig, tcfg: TrainConfig) -> bool:
             and vmem_bytes(cfg, tcfg, stream_big=True) <= VMEM_BUDGET)
 
 
+def vmem_bytes_deep(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
+    """Estimated peak VMEM per grid cell of the depth>=3 kernel
+    (:func:`_train_kernel_deep`): params + Adam moments fully
+    VMEM-resident (no moment streaming), one transient weight-size f32
+    gradient, panel staging, and the step's retained activations
+    (z / dropout-mask / output per act layer, both coder halves)."""
+    dims = [_pad_to(cfg.num_feats, LANE)] + [_pad_to(h, LANE)
+                                             for h in cfg.layer_sizes]
+    w_elems = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    if not cfg.tie_weights:
+        w_elems *= 2
+    b_elems = SUB * (2 * sum(dims) - dims[0] - dims[-1])
+    param_bytes = 4 * (w_elems + b_elems)
+    state_mult = 1 if tcfg.optimizer_state_dtype == "bfloat16" else 2
+    moment_bytes = 2 * (w_elems + b_elems) * 2 * state_mult
+    Bp = _pad_to(tcfg.batch_size, SUB)
+    staging = 4 * Bp * SUB * dims[0]
+    transient = 4 * max(dims[i] * dims[i + 1]
+                        for i in range(len(dims) - 1))
+    acts = 4 * Bp * 6 * sum(dims)
+    return param_bytes + moment_bytes + staging + transient + acts
+
+
 def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
-    """Does this (cfg, spec) fall in the kernel's shape + memory family?"""
+    """Does this (cfg, spec) fall in the kernel's shape + memory family?
+
+    Two sub-families: the original depth-2 family (VAE + HBM-streamed
+    moments included) and, since round 5, VMEM-resident depth>=3 DAEs
+    (:func:`_train_kernel_deep` — no VAE head, no moment streaming;
+    oversized deep shapes fall back to the XLA grid trainer).  The
+    reference ctor accepts arbitrary ``layer_sizes``
+    (multimodal_autoencoder.py:59-70)."""
     cfg = cfg.validate()
-    return (len(cfg.layer_sizes) == 2
-            and cfg.loss == "sigmoid_cross_entropy"
-            and cfg.classification_layer_sizes is None
-            and tcfg.optimizer == "adam"  # kernel hard-codes Adam; the
-            # sgd/adagrad axis falls back to the XLA grid trainer
-            and (spec.intelligent or spec.num_modalities_to_drop <= 1)
-            and not tcfg.clip_gradients  # clipping not implemented here;
-            # note the reference's clip flag is dead code anyway (§2.8.2)
-            and (vmem_bytes(cfg, tcfg) <= VMEM_BUDGET
-                 or needs_streaming(cfg, tcfg)))
+    common = (cfg.loss == "sigmoid_cross_entropy"
+              and cfg.classification_layer_sizes is None
+              and tcfg.optimizer == "adam"  # kernels hard-code Adam; the
+              # sgd/adagrad axis falls back to the XLA grid trainer
+              and (spec.intelligent or spec.num_modalities_to_drop <= 1)
+              and not tcfg.clip_gradients)  # clipping not implemented;
+              # note the reference's clip flag is dead code anyway (§2.8.2)
+    if not common:
+        return False
+    if len(cfg.layer_sizes) == 2:
+        return (vmem_bytes(cfg, tcfg) <= VMEM_BUDGET
+                or needs_streaming(cfg, tcfg))
+    return (not cfg.variational
+            and vmem_bytes_deep(cfg, tcfg) <= VMEM_BUDGET)
 
 
 def _uniform(shape):
@@ -526,6 +560,221 @@ def _train_kernel(
         cp.wait()
 
 
+def _train_kernel_deep(
+        # scalar prefetch (SMEM arrays; index by instance id)
+        seed_ref, fold_ref, n_ref, lr_ref, keep_ref, wpen_ref, act_ref,
+        # tensor inputs
+        train_ref, mask_table_ref, cum_ref, featmask_ref,
+        # then: param ins, param outs, scratch — parsed from *rest by the
+        # static layout [encW(L), decW(L, untied only), encB(L), decB(L)]
+        *rest,
+        dims, steps: int, batch: int, tied: bool, elem_p: float,
+        mask_value: float, decay: bool, decay_steps: float,
+        decay_rate: float, b1_const: float = 0.9,
+        b2_const: float = 0.999, eps: float = 1e-8,
+        dr_seed_salt: int = 0x5EED):
+    """Depth-generic (L >= 3) VMEM-resident training kernel: the
+    depth-2 mega-kernel's math (:func:`_train_kernel`) with the
+    forward/backward chain unrolled over L encode + L decode layers
+    (mmae.encode/decode gating: activation+dropout on every layer
+    except the linear embedding and the logits,
+    multimodal_autoencoder.py:454-475, :499-518).  DAE only, params +
+    Adam moments fully resident (no moment streaming, no VAE head) —
+    ``supported`` gates shapes by :func:`vmem_bytes_deep`."""
+    L = len(dims) - 1
+    n_w = L if tied else 2 * L
+    n_p = n_w + 2 * L
+    ins = rest[:n_p]
+    outs = rest[n_p:2 * n_p]
+    xbuf = rest[2 * n_p]
+    sems = rest[2 * n_p + 1]
+    psem = rest[2 * n_p + 2]
+    scr = rest[2 * n_p + 3:2 * n_p + 3 + n_p]
+    mflat = rest[2 * n_p + 3 + n_p:]
+    moms = [(mflat[2 * k], mflat[2 * k + 1]) for k in range(n_p)]
+    encb0 = n_w           # flat index of first encode bias
+    decb0 = n_w + L       # flat index of first decode bias
+
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
+
+    fold = fold_ref[i]
+    n_valid = n_ref[i]
+    lr0 = lr_ref[i]
+    keep = keep_ref[i]
+    wpen = wpen_ref[i]
+    act_id = act_ref[i]
+
+    Bp = xbuf.shape[0]
+    Fp = xbuf.shape[2]
+
+    for src_ref, dst in zip(ins, scr):
+        cp = pltpu.make_async_copy(src_ref.at[i], dst, psem)
+        cp.start()
+        cp.wait()
+    for m, v in moms:
+        m[...] = jnp.zeros(m.shape, m.dtype)
+        v[...] = jnp.zeros(v.shape, v.dtype)
+
+    featmask = featmask_ref[0, :]                       # (Fp,)
+    row_mask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) < batch,
+        1.0, 0.0)                                       # (Bp, 1)
+
+    def bias_grad_fn(g, shape):
+        return jnp.broadcast_to(jnp.sum(g, axis=0)[None, :], shape)
+
+    def adam(k, g, alpha, es2):
+        m_ref, v_ref = moms[k]
+        m = b1_const * m_ref[...].astype(jnp.float32) + (1 - b1_const) * g
+        v = b2_const * v_ref[...].astype(jnp.float32) \
+            + (1 - b2_const) * jnp.square(g)
+        m_ref[...] = m.astype(m_ref.dtype)
+        v_ref[...] = v.astype(v_ref.dtype)
+        scr[k][...] = scr[k][...] - (alpha * m) * jax.lax.rsqrt(v + es2)
+
+    def step_fn(step, _):
+        # ---- sample a batch (same scheme as _train_kernel) -------------
+        rbits = pltpu.bitcast(pltpu.prng_random_bits((Bp, 1)), jnp.int32)
+        rpos = jax.lax.shift_right_logical(rbits, 1)
+        ridx = (rpos[:, 0] % n_valid)
+        panel = (ridx // SUB) * SUB
+        sub = ridx - panel
+        for j in range(Bp):
+            pltpu.make_async_copy(
+                train_ref.at[fold,
+                             pl.ds(pl.multiple_of(panel[j], SUB), SUB), :],
+                xbuf.at[j], sems.at[j]).start()
+        for j in range(Bp):
+            pltpu.make_async_copy(
+                train_ref.at[fold,
+                             pl.ds(pl.multiple_of(panel[j], SUB), SUB), :],
+                xbuf.at[j], sems.at[j]).wait()
+        sel = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (Bp, SUB), 1)
+            == sub[:, None], 1.0, 0.0)
+        x = jnp.sum(xbuf[...] * sel[:, :, None], axis=1) \
+            * featmask[None, :]                         # (Bp, Fp)
+
+        # ---- corruption (same scheme as _train_kernel) -----------------
+        u_elem = _uniform((Bp, Fp))
+        elem_mask = jnp.where(u_elem < elem_p, 1.0, 0.0)
+        u_type = _uniform((Bp, 1))
+        cum = cum_ref[0, :]
+        below = jnp.where(u_type < cum[None, :],
+                          jnp.int32(1), jnp.int32(0))
+        t_idx = (cum.shape[0]
+                 - jnp.sum(below, axis=1, keepdims=True))
+        cols = jax.lax.broadcasted_iota(jnp.int32,
+                                        (Bp, cum.shape[0]), 1)
+        onehot = jnp.where(cols == t_idx, 1.0, 0.0)
+        mod_mask = jnp.dot(onehot, mask_table_ref[...],
+                           preferred_element_type=jnp.float32)
+        xn = jnp.where(elem_mask > 0, 0.0, x)
+        xn = jnp.where(mod_mask > 0, mask_value * featmask[None, :], xn)
+
+        # ---- forward ---------------------------------------------------
+        enc_w = [scr[k][...] for k in range(L)]
+        if tied:
+            dec_w = [enc_w[L - 1 - j].T for j in range(L)]
+        else:
+            dec_w = [scr[L + j][...] for j in range(L)]
+
+        h = xn
+        zs, ds, hs = [], [], [xn]     # hs[i] = input of encode layer i+1
+        for li in range(L):
+            z = jnp.dot(h, enc_w[li],
+                        preferred_element_type=jnp.float32) \
+                + scr[encb0 + li][0:1, :]
+            if li < L - 1:
+                d = jnp.where(_uniform(z.shape) < keep, 1.0 / keep, 0.0)
+                h = _act(z, act_id) * d
+            else:
+                d = None
+                h = z                 # linear embedding, no dropout
+            zs.append(z)
+            ds.append(d)
+            hs.append(h)
+
+        g = h
+        ys, es, gs = [], [], [g]      # gs[j] = input of decode layer j+1
+        for lj in range(L):
+            y = jnp.dot(g, dec_w[lj],
+                        preferred_element_type=jnp.float32) \
+                + scr[decb0 + lj][0:1, :]
+            if lj < L - 1:
+                d = jnp.where(_uniform(y.shape) < keep, 1.0 / keep, 0.0)
+                g = _act(y, act_id) * d
+            else:
+                d = None
+                g = y                 # logits
+            ys.append(y)
+            es.append(d)
+            gs.append(g)
+
+        # ---- backward ----------------------------------------------------
+        sig = 1.0 / (1.0 + jnp.exp(-ys[L - 1]))
+        dec_gl = [None] * L
+        dec_gl[L - 1] = (sig - x) * row_mask * featmask[None, :]
+        for lj in range(L - 2, -1, -1):
+            dec_gl[lj] = jnp.dot(dec_gl[lj + 1], dec_w[lj + 1].T,
+                                 preferred_element_type=jnp.float32) \
+                * es[lj] * _act_grad(ys[lj], act_id)
+        enc_gl = [None] * L
+        enc_gl[L - 1] = jnp.dot(dec_gl[0], dec_w[0].T,
+                                preferred_element_type=jnp.float32)
+        for li in range(L - 2, -1, -1):
+            enc_gl[li] = jnp.dot(enc_gl[li + 1], enc_w[li + 1].T,
+                                 preferred_element_type=jnp.float32) \
+                * ds[li] * _act_grad(zs[li], act_id)
+
+        cf = (step + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
+        bc2 = 1.0 - jnp.exp(cf * float(np.log(b2_const)))
+        if decay:
+            lr = lr0 * jnp.exp(step.astype(jnp.float32) / decay_steps
+                               * float(np.log(decay_rate)))
+        else:
+            lr = lr0
+        alpha = lr * jnp.sqrt(bc2) / bc1
+        es2 = bc2 * (eps * eps)
+        pen = 2.0 if tied else 1.0
+
+        # ---- weight gradients, one transient at a time -----------------
+        for li in range(L):
+            dW = jnp.dot(hs[li].T, enc_gl[li],
+                         preferred_element_type=jnp.float32) \
+                + pen * wpen * enc_w[li]
+            if tied:
+                # decode layer j0 = L-1-li uses W_{li+1}^T: its gradient
+                # accumulates transposed into the encode weight
+                j0 = L - 1 - li
+                dW = dW + jnp.dot(dec_gl[j0].T, gs[j0],
+                                  preferred_element_type=jnp.float32)
+            adam(li, dW, alpha, es2)
+        if not tied:
+            for lj in range(L):
+                adam(L + lj,
+                     jnp.dot(gs[lj].T, dec_gl[lj],
+                             preferred_element_type=jnp.float32)
+                     + wpen * dec_w[lj], alpha, es2)
+        for li in range(L):
+            adam(encb0 + li, bias_grad_fn(enc_gl[li],
+                                          scr[encb0 + li].shape),
+                 alpha, es2)
+            adam(decb0 + li, bias_grad_fn(dec_gl[li],
+                                          scr[decb0 + li].shape),
+                 alpha, es2)
+        return 0
+
+    jax.lax.fori_loop(0, steps, step_fn, 0)
+
+    for dst_ref, src in zip(outs, scr):
+        cp = pltpu.make_async_copy(src, dst_ref.at[i], psem)
+        cp.start()
+        cp.wait()
+
+
 def train_grid_pallas(rng, cfg: MMAEConfig, tcfg: TrainConfig, spec,
                       hyper, folded, num_steps: Optional[int] = None,
                       interpret: Optional[bool] = None,
@@ -596,6 +845,12 @@ def _cached_pipeline(cfg: MMAEConfig, tcfg: TrainConfig, num_steps: int,
 
 def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
               interpret, elem_p, force_stream=False):
+    if len(cfg.layer_sizes) > 2:
+        # deep (3+-layer) family: VMEM-resident DAE kernel, no moment
+        # streaming (supported() gates shapes by vmem_bytes_deep)
+        return _pipeline_deep(rng, spec, hyper, folded, cfg=cfg,
+                              tcfg=tcfg, num_steps=num_steps,
+                              interpret=interpret, elem_p=elem_p)
 
     C = hyper.num_configs
     K = folded.train_x.shape[0]
@@ -794,10 +1049,21 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         var_b=(unB(bvf, H2) if cfg.variational else None),
         cls_w=(), cls_b=())
 
-    # ---- objective: identical XLA evaluator as train_grid --------------
+    return params, _noisy_val_losses(params, cfg, spec, hyper, folded,
+                                     k_eval)
+
+
+def _noisy_val_losses(params, cfg, spec, hyper, folded, k_eval):
+    """Objective on trained params: identical XLA evaluator as
+    train_grid (get_performance_on_data_with_noise,
+    multimodal_autoencoder.py:1019-1033), shared by every kernel
+    pipeline so objective semantics match across backends."""
     from multimodalautoencoder_tpu.models.corruption import \
         add_noise_to_batch
     from multimodalautoencoder_tpu.ops import masking as masking_lib
+
+    C = hyper.num_configs
+    K = folded.train_x.shape[0]
 
     def eval_one(p, act_id, vx, vn, k):
         k_noise, k_fwd = jax.random.split(k)
@@ -810,14 +1076,168 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         return masking_lib.masked_report_scale(cfg.loss, loss, row_valid,
                                                vx.shape[0])
 
-    eval_keys = jax.random.split(k_eval, N).reshape(C, K, 2)
+    eval_keys = jax.random.split(k_eval, C * K).reshape(C, K, 2)
 
     def per_config(p_c, act_id, keys_c):
         return jax.vmap(eval_one, in_axes=(0, None, 0, 0, 0))(
             p_c, act_id, folded.val_x, folded.val_n, keys_c)
 
-    losses = jax.vmap(per_config)(params, hyper.act_id, eval_keys)
-    return params, losses
+    return jax.vmap(per_config)(params, hyper.act_id, eval_keys)
+
+
+def _pipeline_deep(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
+                   interpret, elem_p):
+    """Depth>=3 pipeline: init with the exact XLA initializer, pad, run
+    :func:`_train_kernel_deep` over the (config x fold) grid, unpack,
+    evaluate with the shared XLA objective.  Same contract as
+    :func:`_pipeline`; dispatched from there by encoder depth."""
+    C = hyper.num_configs
+    K = folded.train_x.shape[0]
+    N = C * K
+    F = cfg.num_feats
+    sizes = [F] + list(cfg.layer_sizes)
+    dims = tuple(_pad_to(s, LANE) for s in sizes)
+    L = len(dims) - 1
+    B = tcfg.batch_size
+    Bp = _pad_to(B, SUB)
+    tied = cfg.tie_weights
+    state_dt = optim.state_dtype(tcfg.optimizer_state_dtype) \
+        or jnp.float32
+
+    k_init, k_eval = jax.random.split(rng)
+    inst_keys = jax.random.split(k_init, N).reshape(
+        (C, K) + k_init.shape)
+    params0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, cfg)))(inst_keys)
+
+    def pad_w(a, r, c):
+        flat = a.reshape(N, a.shape[2], a.shape[3])
+        return jnp.zeros((N, r, c), jnp.float32).at[
+            :, : a.shape[2], : a.shape[3]].set(flat)
+
+    def pad_b(a, c):
+        flat = a.reshape(N, 1, a.shape[2])
+        return jnp.zeros((N, SUB, c), jnp.float32).at[
+            :, :, : a.shape[2]].set(jnp.broadcast_to(
+                flat, (N, SUB, a.shape[2])))
+
+    # flat param order (kernel contract): encW, decW (untied), encB, decB
+    param_arrays, param_rc = [], []
+    for li in range(L):
+        param_arrays.append(pad_w(params0.enc_w[li], dims[li],
+                                  dims[li + 1]))
+        param_rc.append((dims[li], dims[li + 1]))
+    if not tied:
+        for lj in range(L):
+            param_arrays.append(pad_w(params0.dec_w[lj], dims[L - lj],
+                                      dims[L - lj - 1]))
+            param_rc.append((dims[L - lj], dims[L - lj - 1]))
+    for li in range(L):
+        param_arrays.append(pad_b(params0.enc_b[li], dims[li + 1]))
+        param_rc.append((SUB, dims[li + 1]))
+    for lj in range(L):
+        param_arrays.append(pad_b(params0.dec_b[lj], dims[L - lj - 1]))
+        param_rc.append((SUB, dims[L - lj - 1]))
+    n_p = len(param_arrays)
+
+    # ---- corruption tables (same construction as _pipeline) ------------
+    Fp = dims[0]
+    if spec.intelligent:
+        type_masks = spec.type_masks.astype(jnp.float32)
+        probs = jnp.exp(spec.type_log_probs)
+    elif spec.num_modalities_to_drop == 1:
+        mm = spec.modality_masks.astype(jnp.float32)
+        type_masks = mm
+        probs = jnp.full((mm.shape[0],), 1.0 / mm.shape[0])
+    else:
+        type_masks = jnp.zeros((1, F), jnp.float32)
+        probs = jnp.ones((1,))
+    T = type_masks.shape[0]
+    Tp = _pad_to(T, LANE)
+    table = jnp.zeros((Tp, Fp), jnp.float32).at[:T, :F].set(type_masks)
+    cum = jnp.full((1, Tp), 2.0, jnp.float32).at[0, :T].set(
+        jnp.cumsum(probs / jnp.sum(probs)))
+    featmask = jnp.zeros((1, Fp), jnp.float32).at[0, :F].set(1.0)
+
+    maxN = _pad_to(folded.train_x.shape[1], SUB)
+    train = jnp.zeros((K, maxN, Fp), jnp.float32
+                      ).at[:, : folded.train_x.shape[1], :F].set(
+        folded.train_x)
+    seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1)
+                     )(inst_keys.reshape(N, 2)).astype(jnp.int32)
+    fold_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), C)
+    n_valid = jnp.tile(folded.train_n, C)
+    lr = jnp.repeat(hyper.lr, K)
+    keep = jnp.repeat(hyper.keep_prob, K)
+    wpen = jnp.repeat(hyper.weight_penalty, K)
+    act = jnp.repeat(hyper.act_id, K)
+
+    kernel = functools.partial(
+        _train_kernel_deep, dims=dims, steps=num_steps, batch=B,
+        tied=tied, elem_p=elem_p, mask_value=float(cfg.mask_with),
+        decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
+        decay_steps=float(tcfg.decay_steps),
+        decay_rate=float(tcfg.decay_rate))
+
+    def anyspec():
+        return pl.BlockSpec(memory_space=pl.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(N,),
+        in_specs=[
+            anyspec(),                                     # train
+            pl.BlockSpec((Tp, Fp), lambda i, *_: (0, 0)),  # mask table
+            pl.BlockSpec((1, Tp), lambda i, *_: (0, 0)),   # cum probs
+            pl.BlockSpec((1, Fp), lambda i, *_: (0, 0)),   # feat mask
+        ] + [anyspec()] * n_p,
+        out_specs=[anyspec()] * n_p,
+        scratch_shapes=[
+            pltpu.VMEM((Bp, SUB, Fp), jnp.float32),        # panel staging
+            pltpu.SemaphoreType.DMA((Bp,)),                # batch sems
+            pltpu.SemaphoreType.DMA,                       # param sem
+        ] + [pltpu.VMEM(rc, jnp.float32) for rc in param_rc]
+          + [pltpu.VMEM(rc, state_dt)
+             for rc in param_rc for _ in (0, 1)],          # Adam (m, v)
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                   for a in param_arrays],
+        interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
+                   if interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(seeds, fold_ids, n_valid, lr, keep, wpen, act,
+      train, table, cum, featmask, *param_arrays)
+
+    def unW(a, r, c):
+        return a[:, :r, :c].reshape(C, K, r, c)
+
+    def unB(a, c):
+        return a[:, 0, :c].reshape(C, K, c)
+
+    pos = 0
+    enc_w = tuple(unW(out[pos + li], sizes[li], sizes[li + 1])
+                  for li in range(L))
+    pos += L
+    if tied:
+        dec_w = ()
+    else:
+        dec_w = tuple(unW(out[pos + lj], sizes[L - lj],
+                          sizes[L - lj - 1]) for lj in range(L))
+        pos += L
+    enc_b = tuple(unB(out[pos + li], sizes[li + 1]) for li in range(L))
+    pos += L
+    dec_b = tuple(unB(out[pos + lj], sizes[L - lj - 1])
+                  for lj in range(L))
+
+    params = mmae.MMAEParams(
+        enc_w=enc_w, enc_b=enc_b, dec_w=dec_w, dec_b=dec_b,
+        var_w=None, var_b=None, cls_w=(), cls_b=())
+    return params, _noisy_val_losses(params, cfg, spec, hyper, folded,
+                                     k_eval)
 
 
 # ---------------------------------------------------------------------------
@@ -908,6 +1328,10 @@ def supported_two_phase(cfg: MMAEConfig, tcfg: TrainConfig,
     phases)?  Out-of-family shapes fall back to the XLA grid trainer."""
     cfg = cfg.validate()
     if cfg.classification_layer_sizes is None:
+        return False
+    # the two-phase kernels implement the depth-2 encoder family only;
+    # deep (3+-layer) phase-1 runs go through the XLA / shared paths
+    if len(cfg.layer_sizes) != 2:
         return False
     return (supported(_phase1_cfg(cfg), tcfg, spec)
             and len(cfg.classification_layer_sizes) <= 2

@@ -109,8 +109,23 @@ def test_multi_step_with_decay_exact():
 def test_supported_predicate():
     cfg, tcfg, spec, _, _, _ = make(True)
     assert tk.supported(cfg, tcfg, spec)
-    assert not tk.supported(cfg.replace(layer_sizes=(8, 4, 2)), tcfg,
-                            spec)
+    # depth>=3 DAEs joined the family in round 5 (the deep kernel);
+    # deep VAEs and VMEM-oversized deep shapes still fall back
+    assert tk.supported(cfg.replace(layer_sizes=(8, 4, 2)), tcfg, spec)
+    assert not tk.supported(
+        cfg.replace(layer_sizes=(8, 4, 2), variational=True,
+                    tie_weights=False), tcfg, spec)
+    assert not tk.supported(
+        cfg.replace(num_feats=1000, layer_sizes=(1000, 500, 100),
+                    tie_weights=False), tcfg, spec)
+    assert tk.supported(
+        cfg.replace(num_feats=300, layer_sizes=(300, 200, 100)),
+        tcfg, spec)
+    # the two-phase kernels stay a depth-2 family
+    assert not tk.supported_two_phase(
+        cfg.replace(layer_sizes=(8, 4, 2),
+                    classification_layer_sizes=(4,),
+                    num_labels=2).validate(), tcfg, tcfg, spec)
     # VAE is in the kernel family (reparameterized backward is built in)
     assert tk.supported(cfg.replace(variational=True,
                                     tie_weights=False), tcfg, spec)
@@ -135,6 +150,39 @@ def test_supported_predicate():
     assert not tk.supported(over, tf32, spec)
 
 
+@pytest.mark.parametrize("tied", [True, False])
+def test_deep_kernel_single_step_exact(tied):
+    """The depth-3 kernel (round 5) must match the XLA trainer's update
+    exactly — same harness as the depth-2 family."""
+    cfg, tcfg, spec, X, folded, hyper = make(tied,
+                                             layer_sizes=(16, 10, 6))
+    assert tk.supported(cfg, tcfg, spec)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 1))
+
+
+def test_deep_kernel_multi_step_decay_penalty_exact():
+    cfg, tcfg, spec, X, folded, hyper = make(
+        True, wpen=0.01, steps=5, decay=True, layer_sizes=(16, 10, 6))
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=5)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 5), tol=1e-4)
+
+
+def test_deep_kernel_depth4_untied_exact():
+    """Depth generality: a 4-layer untied encoder/decoder stack."""
+    cfg, tcfg, spec, X, folded, hyper = make(
+        False, act="relu", layer_sizes=(20, 14, 10, 6))
+    assert tk.supported(cfg, tcfg, spec)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=1)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 1))
+
+
 def test_resolve_backend_records_fallbacks():
     """The sweep-facing resolver mirrors the auto branch exactly:
     pallas on TPU for kernel-family shapes, XLA for out-of-family
@@ -145,8 +193,15 @@ def test_resolve_backend_records_fallbacks():
                               on_tpu=True) == "pallas"
     assert gt.resolve_backend("auto", cfg, tcfg, spec,
                               on_tpu=False) == "xla"
+    # small depth-3 DAEs resolve to the deep kernel (round 5); deep
+    # shapes outside its VMEM budget still fall back to XLA
     assert gt.resolve_backend(
         "auto", cfg.replace(layer_sizes=(8, 4, 2)), tcfg, spec,
+        on_tpu=True) == "pallas"
+    assert gt.resolve_backend(
+        "auto", cfg.replace(num_feats=1000,
+                            layer_sizes=(1000, 500, 100),
+                            tie_weights=False), tcfg, spec,
         on_tpu=True) == "xla"
     import dataclasses
     tsgd = dataclasses.replace(tcfg, optimizer="sgd")

@@ -41,15 +41,28 @@ CLS_RECORDED_RATES = {
 }
 
 
-# XLA grid-trainer rates for shapes OUTSIDE the kernel family (3-layer
-# encoders) and for one in-family shape on both backends — the measured
-# price of an auto-mode fallback (ledger column `backend_used`).
-# Measured with --measure-xla-fallback, 2026-08-20, healthy chip
-# (canary 252k before and after).
+# XLA grid-trainer rates for shapes outside (or forced off) the kernel
+# families — the measured price of an auto-mode fallback (ledger column
+# `backend_used`).  Measured with --measure-xla-fallback, 2026-08-20,
+# healthy chip (canary 252k before and after).  Since the depth>=3 DAE
+# kernel landed (train_kernel._train_kernel_deep), only shapes its
+# vmem_bytes_deep budget rejects (e.g. the untied 1000x500x100 row,
+# whose f32 params alone approach the 16 MiB core) still take these XLA
+# rates under 'auto'.
 XLA_FALLBACK_RECORDED = {
     "xla tied 300x100 @300f (kernel-family shape)": 137_200,
     "xla 3-layer tied 300x200x100 @300f": 106_900,
     "xla 3-layer untied 1000x500x100 @1000f": 7_400,
+}
+
+# Deep-kernel (depth>=3 DAE, VMEM-resident) rates, measured 2026-08-20
+# on hardware with the same 12-config x 5-fold x 1500-step harness:
+# the auto-mode rates for in-budget 3-layer shapes (vs the XLA rows
+# above: tied 300x200x100 runs 1.88x the XLA grid trainer).
+DEEP_RECORDED_RATES = {
+    "deep 3-layer tied 300x200x100 @300f": 200_800,
+    "deep 3-layer untied 300x200x100 @300f": 170_000,
+    "deep 3-layer tied 500x300x100 @500f": 150_800,
 }
 
 
