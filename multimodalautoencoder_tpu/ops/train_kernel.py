@@ -200,7 +200,10 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
     if len(cfg.layer_sizes) == 2:
         return (vmem_bytes(cfg, tcfg) <= VMEM_BUDGET
                 or needs_streaming(cfg, tcfg))
-    return (not cfg.variational
+    # the deep family is depth>=3 ONLY: depth-1 stacks (legal per
+    # MMAEConfig.validate) belong to the XLA grid trainer
+    return (len(cfg.layer_sizes) >= 3
+            and not cfg.variational
             and vmem_bytes_deep(cfg, tcfg) <= VMEM_BUDGET)
 
 
@@ -231,6 +234,22 @@ def _act(z, act_id):
                     jnp.log1p(jnp.exp(-jnp.abs(z)))
                     + jnp.maximum(z, 0.0), out)
     return out
+
+
+def _mask_cols(val, real: int):
+    """Zero the LANE-padding columns (static no-op when aligned).
+
+    Activation outputs (and the VAE's sampled eps) must not carry
+    phantom padded-lane values into the next matmul: act(0) != 0 for
+    softplus and eps is nonzero everywhere, so without this the padded
+    columns leak gradient into REAL weights from step 2 on.  Masking
+    the forward value keeps every padded weight row/column exactly zero
+    by induction (their gradients contract against these zeros)."""
+    if real == val.shape[-1]:
+        return val
+    keep = jax.lax.broadcasted_iota(jnp.int32, val.shape,
+                                    val.ndim - 1) < real
+    return jnp.where(keep, val, 0.0)
 
 
 def _act_grad(z, act_id):
@@ -270,6 +289,7 @@ def _train_kernel(
         *, steps: int, batch: int, tied: bool, variational: bool,
         stream_big: bool, elem_p: float, mask_value: float,
         decay: bool, decay_steps: float, decay_rate: float,
+        h1_real: int, h2_real: int,
         b1_const: float = 0.9, b2_const: float = 0.999,
         eps: float = 1e-8, dr_seed_salt: int = 0x5EED):
     i = pl.program_id(0)
@@ -388,7 +408,7 @@ def _train_kernel(
             + b1s[0:1, :]
         a1 = _act(z1, act_id)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
-        a1d = a1 * d1
+        a1d = _mask_cols(a1 * d1, h1_real)
         mu = jnp.dot(a1d, w2, preferred_element_type=jnp.float32) \
             + b2s[0:1, :]
         if variational:
@@ -398,7 +418,7 @@ def _train_kernel(
             lv = jnp.dot(a1d, wvs[...],
                          preferred_element_type=jnp.float32) \
                 + bvs[0:1, :]
-            eps_n = _normal(mu.shape)
+            eps_n = _mask_cols(_normal(mu.shape), h2_real)
             sigma = jnp.exp(lv)
             z2 = mu + eps_n * sigma
         else:
@@ -407,7 +427,7 @@ def _train_kernel(
             + b3s[0:1, :]
         a3 = _act(z3, act_id)
         d3 = jnp.where(_uniform(z3.shape) < keep, 1.0 / keep, 0.0)
-        a3d = a3 * d3
+        a3d = _mask_cols(a3 * d3, h1_real)
         z4 = jnp.dot(a3d, w4, preferred_element_type=jnp.float32) \
             + b4s[0:1, :]
 
@@ -568,9 +588,9 @@ def _train_kernel_deep(
         # then: param ins, param outs, scratch — parsed from *rest by the
         # static layout [encW(L), decW(L, untied only), encB(L), decB(L)]
         *rest,
-        dims, steps: int, batch: int, tied: bool, elem_p: float,
-        mask_value: float, decay: bool, decay_steps: float,
-        decay_rate: float, b1_const: float = 0.9,
+        dims, real_dims, steps: int, batch: int, tied: bool,
+        elem_p: float, mask_value: float, decay: bool,
+        decay_steps: float, decay_rate: float, b1_const: float = 0.9,
         b2_const: float = 0.999, eps: float = 1e-8,
         dr_seed_salt: int = 0x5EED):
     """Depth-generic (L >= 3) VMEM-resident training kernel: the
@@ -688,7 +708,7 @@ def _train_kernel_deep(
                 + scr[encb0 + li][0:1, :]
             if li < L - 1:
                 d = jnp.where(_uniform(z.shape) < keep, 1.0 / keep, 0.0)
-                h = _act(z, act_id) * d
+                h = _mask_cols(_act(z, act_id) * d, real_dims[li + 1])
             else:
                 d = None
                 h = z                 # linear embedding, no dropout
@@ -704,7 +724,8 @@ def _train_kernel_deep(
                 + scr[decb0 + lj][0:1, :]
             if lj < L - 1:
                 d = jnp.where(_uniform(y.shape) < keep, 1.0 / keep, 0.0)
-                g = _act(y, act_id) * d
+                g = _mask_cols(_act(y, act_id) * d,
+                               real_dims[L - lj - 1])
             else:
                 d = None
                 g = y                 # logits
@@ -948,7 +969,8 @@ def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
         elem_p=elem_p, mask_value=float(cfg.mask_with),
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
-        decay_rate=float(tcfg.decay_rate))
+        decay_rate=float(tcfg.decay_rate),
+        h1_real=H1, h2_real=H2)
 
     def anyspec():
         return pl.BlockSpec(memory_space=pl.ANY)
@@ -1172,7 +1194,8 @@ def _pipeline_deep(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     act = jnp.repeat(hyper.act_id, K)
 
     kernel = functools.partial(
-        _train_kernel_deep, dims=dims, steps=num_steps, batch=B,
+        _train_kernel_deep, dims=dims, real_dims=tuple(sizes),
+        steps=num_steps, batch=B,
         tied=tied, elem_p=elem_p, mask_value=float(cfg.mask_with),
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
@@ -1380,6 +1403,7 @@ def _cls_train_kernel(
         *, steps: int, batch: int, n_cls: int, gates: tuple,
         variational: bool, softmax: bool, stream_big: bool, elem_p: float,
         mask_value: float, lr_const: float, num_labels: int,
+        h1_real: int, cls_reals: tuple,
         b1_const: float = 0.9, b2_const: float = 0.999, eps: float = 1e-8,
         dr_seed_salt: int = 0x2C15, bf16: bool = False):
     i = pl.program_id(0)
@@ -1503,11 +1527,11 @@ def _cls_train_kernel(
         z1 = _dot(xn, w1) + b1s[0:1, :]
         a1 = _act(z1, enc_act)
         d1 = jnp.where(_uniform(z1.shape) < keep, 1.0 / keep, 0.0)
-        a1d = a1 * d1
+        a1d = _mask_cols(a1 * d1, h1_real)
         mu = _dot(a1d, w2) + b2s[0:1, :]
         if variational:
             lv = _dot(a1d, wvs[...]) + bvs[0:1, :]
-            eps_n = _normal(mu.shape)
+            eps_n = _mask_cols(_normal(mu.shape), cls_reals[0])
             sigma = jnp.exp(lv)
             emb = mu + eps_n * sigma
         else:
@@ -1528,7 +1552,7 @@ def _cls_train_kernel(
                 dj = jnp.where(_uniform(zc.shape) < keep,
                                1.0 / keep, 0.0)
                 ds[j] = dj
-                h = ac * dj
+                h = _mask_cols(ac * dj, cls_reals[j + 1])
             else:
                 h = zc
         logits = h                                            # (Bp, Lp)
@@ -1905,6 +1929,9 @@ def _phase2_body(k_cls_init, k_p2, k_eval, params1, spec, hyper, chyper,
         softmax=softmax, stream_big=stream_big, elem_p=elem_p,
         mask_value=float(cfg.mask_with),
         lr_const=float(cls_tcfg.learning_rate), num_labels=L,
+        h1_real=H1,
+        cls_reals=(cfg.embedding_size,
+                   *cfg.classification_layer_sizes, L),
         eps=adam_eps, bf16=(cfg.compute_dtype == "bfloat16"))
 
     def anyspec():

@@ -172,6 +172,35 @@ def test_deep_kernel_multi_step_decay_penalty_exact():
     assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.01, 5), tol=1e-4)
 
 
+@pytest.mark.parametrize("layers", [(16, 6), (16, 10, 6)])
+def test_softplus_multi_step_exact_unaligned(layers):
+    """Padded-lane regression (round-5 review): softplus is the one
+    supported activation with act(0) != 0, so without column masks the
+    LANE-padding lanes of every non-128-multiple hidden layer leak
+    gradient into REAL weights from step 2 on (1-step tests could not
+    see it).  Both kernel families must stay step-exact for 5 steps."""
+    cfg, tcfg, spec, X, folded, hyper = make(True, act="softplus",
+                                             steps=5,
+                                             layer_sizes=layers)
+    params_k, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg, tcfg,
+                                       spec, hyper, folded, num_steps=5)
+    pk = jax.tree_util.tree_map(lambda a: a[0, 0], params_k)
+    assert_params_close(pk, xla_steps(cfg, tcfg, X, 0.0, 5), tol=1e-4)
+
+
+def test_depth1_stays_on_xla():
+    """A depth-1 stack is legal (MMAEConfig.validate only demands >=2
+    layers for VAEs) and must NOT be claimed by any kernel family —
+    round-5's first deep gate admitted it and crashed the depth-2
+    pipeline's unpack."""
+    cfg, tcfg, spec, _, folded, _ = make(True)
+    cfg1 = cfg.replace(layer_sizes=(16,)).validate()
+    assert not tk.supported(cfg1, tcfg, spec)
+    from multimodalautoencoder_tpu.parallel import grid_trainer as gt
+    assert gt.resolve_backend("auto", cfg1, tcfg, spec,
+                              on_tpu=True) == "xla"
+
+
 def test_deep_kernel_depth4_untied_exact():
     """Depth generality: a 4-layer untied encoder/decoder stack."""
     cfg, tcfg, spec, X, folded, hyper = make(

@@ -58,7 +58,9 @@ XLA_FALLBACK_RECORDED = {
 # Deep-kernel (depth>=3 DAE, VMEM-resident) rates, measured 2026-08-20
 # on hardware with the same 12-config x 5-fold x 1500-step harness:
 # the auto-mode rates for in-budget 3-layer shapes (vs the XLA rows
-# above: tied 300x200x100 runs 1.88x the XLA grid trainer).
+# above: tied 300x200x100 runs 1.88x the XLA grid trainer).  Names are
+# display labels only — NOT parseable by _cfg_for (which serves the
+# phase-1/XLA dicts); the default report prints these verbatim.
 DEEP_RECORDED_RATES = {
     "deep 3-layer tied 300x200x100 @300f": 200_800,
     "deep 3-layer untied 300x200x100 @300f": 170_000,
@@ -322,9 +324,11 @@ def main():
                     help="reconcile the measured classification-job wall "
                          "against the recorded phase-2 rates (no TPU)")
     ap.add_argument("--measure-xla-fallback", action="store_true",
-                    help="measure the XLA grid trainer's rates for "
-                         "out-of-kernel-family (3-layer) shapes and one "
-                         "in-family shape, on the attached TPU")
+                    help="measure the XLA grid trainer's rates for the "
+                         "recorded fallback shapes (since the deep "
+                         "kernel landed, only VMEM-oversized deep "
+                         "shapes still take these under 'auto') plus "
+                         "one in-family shape, on the attached TPU")
     args = ap.parse_args()
 
     if args.reconcile_cls:
@@ -391,6 +395,15 @@ def main():
               f"| {100.0 * gfs * 1e9 / peak:.1f}% "
               f"| {hbm_s / 1e9:.0f} "
               f"| {100.0 * hbm_s / flops.V5E_PEAK_HBM_BYTES:.1f}% |")
+
+    # deep-kernel and XLA-fallback recorded rates (plain rates table —
+    # the flops roofline columns above apply to the phase-1/phase-2
+    # shapes only)
+    print("\n| recorded rate (2026-08-20) | inst-steps/s |")
+    print("|---|---|")
+    for name, rate in {**DEEP_RECORDED_RATES,
+                       **XLA_FALLBACK_RECORDED}.items():
+        print(f"| {name} | {rate / 1000:.1f}k |")
 
 
 if __name__ == "__main__":
