@@ -160,13 +160,18 @@ def vmem_bytes_deep(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
     (:func:`_train_kernel_deep`): params + Adam moments fully
     VMEM-resident (no moment streaming), one transient weight-size f32
     gradient, panel staging, and the step's retained activations
-    (z / dropout-mask / output per act layer, both coder halves)."""
+    (z / dropout-mask / output per act layer, both coder halves; VAEs
+    add the log-sigma head's weights/moments and the retained
+    lv/eps/sigma embeddings)."""
     dims = [_pad_to(cfg.num_feats, LANE)] + [_pad_to(h, LANE)
                                              for h in cfg.layer_sizes]
     w_elems = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
     if not cfg.tie_weights:
         w_elems *= 2
     b_elems = SUB * (2 * sum(dims) - dims[0] - dims[-1])
+    if cfg.variational:
+        w_elems += dims[-2] * dims[-1]        # wv (never tied)
+        b_elems += SUB * dims[-1]             # bv
     param_bytes = 4 * (w_elems + b_elems)
     state_mult = 1 if tcfg.optimizer_state_dtype == "bfloat16" else 2
     moment_bytes = 2 * (w_elems + b_elems) * 2 * state_mult
@@ -175,6 +180,8 @@ def vmem_bytes_deep(cfg: MMAEConfig, tcfg: TrainConfig) -> int:
     transient = 4 * max(dims[i] * dims[i + 1]
                         for i in range(len(dims) - 1))
     acts = 4 * Bp * 6 * sum(dims)
+    if cfg.variational:
+        acts += 4 * Bp * 3 * dims[-1]         # lv, eps, sigma
     return param_bytes + moment_bytes + staging + transient + acts
 
 
@@ -182,8 +189,8 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
     """Does this (cfg, spec) fall in the kernel's shape + memory family?
 
     Two sub-families: the original depth-2 family (VAE + HBM-streamed
-    moments included) and, since round 5, VMEM-resident depth>=3 DAEs
-    (:func:`_train_kernel_deep` — no VAE head, no moment streaming;
+    moments included) and, since round 5, VMEM-resident depth>=3 stacks
+    (:func:`_train_kernel_deep` — DAE and VAE, no moment streaming;
     oversized deep shapes fall back to the XLA grid trainer).  The
     reference ctor accepts arbitrary ``layer_sizes``
     (multimodal_autoencoder.py:59-70)."""
@@ -203,7 +210,6 @@ def supported(cfg: MMAEConfig, tcfg: TrainConfig, spec) -> bool:
     # the deep family is depth>=3 ONLY: depth-1 stacks (legal per
     # MMAEConfig.validate) belong to the XLA grid trainer
     return (len(cfg.layer_sizes) >= 3
-            and not cfg.variational
             and vmem_bytes_deep(cfg, tcfg) <= VMEM_BUDGET)
 
 
@@ -586,9 +592,11 @@ def _train_kernel_deep(
         # tensor inputs
         train_ref, mask_table_ref, cum_ref, featmask_ref,
         # then: param ins, param outs, scratch — parsed from *rest by the
-        # static layout [encW(L), decW(L, untied only), encB(L), decB(L)]
+        # static layout [encW(L), decW(L, untied only), encB(L), decB(L),
+        # wv, bv (variational only)]
         *rest,
         dims, real_dims, steps: int, batch: int, tied: bool,
+        variational: bool,
         elem_p: float, mask_value: float, decay: bool,
         decay_steps: float, decay_rate: float, b1_const: float = 0.9,
         b2_const: float = 0.999, eps: float = 1e-8,
@@ -598,12 +606,14 @@ def _train_kernel_deep(
     forward/backward chain unrolled over L encode + L decode layers
     (mmae.encode/decode gating: activation+dropout on every layer
     except the linear embedding and the logits,
-    multimodal_autoencoder.py:454-475, :499-518).  DAE only, params +
-    Adam moments fully resident (no moment streaming, no VAE head) —
-    ``supported`` gates shapes by :func:`vmem_bytes_deep`."""
+    multimodal_autoencoder.py:454-475, :499-518).  Covers DAE and VAE
+    stacks (reparameterized embedding + KL-on-sampled-z, the depth-2
+    kernel's math, multimodal_autoencoder.py:372-375, :402-406); params
+    + Adam moments fully resident (no moment streaming) — ``supported``
+    gates shapes by :func:`vmem_bytes_deep`."""
     L = len(dims) - 1
     n_w = L if tied else 2 * L
-    n_p = n_w + 2 * L
+    n_p = n_w + 2 * L + (2 if variational else 0)
     ins = rest[:n_p]
     outs = rest[n_p:2 * n_p]
     xbuf = rest[2 * n_p]
@@ -614,6 +624,7 @@ def _train_kernel_deep(
     moms = [(mflat[2 * k], mflat[2 * k + 1]) for k in range(n_p)]
     encb0 = n_w           # flat index of first encode bias
     decb0 = n_w + L       # flat index of first decode bias
+    wv_i = n_w + 2 * L    # flat index of the VAE log-sigma head (wv, bv)
 
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i] + dr_seed_salt)
@@ -702,13 +713,27 @@ def _train_kernel_deep(
 
         h = xn
         zs, ds, hs = [], [], [xn]     # hs[i] = input of encode layer i+1
+        lv = eps_n = sigma = None
         for li in range(L):
+            if variational and li == L - 1:
+                # log-sigma head off the LAST hidden activation (the
+                # embedding layer's input), multimodal_autoencoder.py
+                # :372-375 — same placement as mmae.encode
+                lv = jnp.dot(h, scr[wv_i][...],
+                             preferred_element_type=jnp.float32) \
+                    + scr[wv_i + 1][0:1, :]
             z = jnp.dot(h, enc_w[li],
                         preferred_element_type=jnp.float32) \
                 + scr[encb0 + li][0:1, :]
             if li < L - 1:
                 d = jnp.where(_uniform(z.shape) < keep, 1.0 / keep, 0.0)
                 h = _mask_cols(_act(z, act_id) * d, real_dims[li + 1])
+            elif variational:
+                # reparameterized embedding: z = mu + eps * exp(lv)
+                d = None
+                eps_n = _mask_cols(_normal(z.shape), real_dims[L])
+                sigma = jnp.exp(lv)
+                h = z + eps_n * sigma
             else:
                 d = None
                 h = z                 # linear embedding, no dropout
@@ -742,12 +767,26 @@ def _train_kernel_deep(
                                  preferred_element_type=jnp.float32) \
                 * es[lj] * _act_grad(ys[lj], act_id)
         enc_gl = [None] * L
-        enc_gl[L - 1] = jnp.dot(dec_gl[0], dec_w[0].T,
-                                preferred_element_type=jnp.float32)
+        gz = jnp.dot(dec_gl[0], dec_w[0].T,
+                     preferred_element_type=jnp.float32)
+        if variational:
+            # loss = recon_sum + mean_rows(KL) with KL on the SAMPLED z
+            # (reference quirk, :402-406): dKL/dz = z/B,
+            # dKL/dlv = (e^{2lv} - 1)/B — identical to _train_kernel
+            inv_b = 1.0 / float(batch)
+            gz = gz + hs[L] * inv_b * row_mask
+            glv = (gz * eps_n * sigma
+                   + (jnp.exp(2.0 * lv) - 1.0) * inv_b * row_mask)
+        else:
+            glv = None
+        enc_gl[L - 1] = gz
         for li in range(L - 2, -1, -1):
-            enc_gl[li] = jnp.dot(enc_gl[li + 1], enc_w[li + 1].T,
-                                 preferred_element_type=jnp.float32) \
-                * ds[li] * _act_grad(zs[li], act_id)
+            up = jnp.dot(enc_gl[li + 1], enc_w[li + 1].T,
+                         preferred_element_type=jnp.float32)
+            if variational and li == L - 2:
+                up = up + jnp.dot(glv, scr[wv_i][...].T,
+                                  preferred_element_type=jnp.float32)
+            enc_gl[li] = up * ds[li] * _act_grad(zs[li], act_id)
 
         cf = (step + 1).astype(jnp.float32)
         bc1 = 1.0 - jnp.exp(cf * float(np.log(b1_const)))
@@ -779,6 +818,14 @@ def _train_kernel_deep(
                      jnp.dot(gs[lj].T, dec_gl[lj],
                              preferred_element_type=jnp.float32)
                      + wpen * dec_w[lj], alpha, es2)
+        if variational:
+            # L2 reg includes the variance weights (:396-397); wv is
+            # never tied, so plain wpen (no tied doubling)
+            adam(wv_i, jnp.dot(hs[L - 1].T, glv,
+                               preferred_element_type=jnp.float32)
+                 + wpen * scr[wv_i][...], alpha, es2)
+            adam(wv_i + 1, bias_grad_fn(glv, scr[wv_i + 1].shape),
+                 alpha, es2)
         for li in range(L):
             adam(encb0 + li, bias_grad_fn(enc_gl[li],
                                           scr[encb0 + li].shape),
@@ -867,8 +914,8 @@ def _cached_pipeline(cfg: MMAEConfig, tcfg: TrainConfig, num_steps: int,
 def _pipeline(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
               interpret, elem_p, force_stream=False):
     if len(cfg.layer_sizes) > 2:
-        # deep (3+-layer) family: VMEM-resident DAE kernel, no moment
-        # streaming (supported() gates shapes by vmem_bytes_deep)
+        # deep (3+-layer) family: VMEM-resident DAE/VAE kernel, no
+        # moment streaming (supported() gates by vmem_bytes_deep)
         return _pipeline_deep(rng, spec, hyper, folded, cfg=cfg,
                               tcfg=tcfg, num_steps=num_steps,
                               interpret=interpret, elem_p=elem_p)
@@ -1159,6 +1206,11 @@ def _pipeline_deep(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     for lj in range(L):
         param_arrays.append(pad_b(params0.dec_b[lj], dims[L - lj - 1]))
         param_rc.append((SUB, dims[L - lj - 1]))
+    if cfg.variational:
+        param_arrays.append(pad_w(params0.var_w, dims[L - 1], dims[L]))
+        param_rc.append((dims[L - 1], dims[L]))
+        param_arrays.append(pad_b(params0.var_b, dims[L]))
+        param_rc.append((SUB, dims[L]))
     n_p = len(param_arrays)
 
     # ---- corruption tables (same construction as _pipeline) ------------
@@ -1196,7 +1248,8 @@ def _pipeline_deep(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     kernel = functools.partial(
         _train_kernel_deep, dims=dims, real_dims=tuple(sizes),
         steps=num_steps, batch=B,
-        tied=tied, elem_p=elem_p, mask_value=float(cfg.mask_with),
+        tied=tied, variational=bool(cfg.variational),
+        elem_p=elem_p, mask_value=float(cfg.mask_with),
         decay=bool(tcfg.decay and not tcfg.faithful_inert_decay),
         decay_steps=float(tcfg.decay_steps),
         decay_rate=float(tcfg.decay_rate))
@@ -1255,10 +1308,15 @@ def _pipeline_deep(rng, spec, hyper, folded, *, cfg, tcfg, num_steps,
     pos += L
     dec_b = tuple(unB(out[pos + lj], sizes[L - lj - 1])
                   for lj in range(L))
+    pos += L
+    var_w = var_b = None
+    if cfg.variational:
+        var_w = unW(out[pos], sizes[L - 1], sizes[L])
+        var_b = unB(out[pos + 1], sizes[L])
 
     params = mmae.MMAEParams(
         enc_w=enc_w, enc_b=enc_b, dec_w=dec_w, dec_b=dec_b,
-        var_w=None, var_b=None, cls_w=(), cls_b=())
+        var_w=var_w, var_b=var_b, cls_w=(), cls_b=())
     return params, _noisy_val_losses(params, cfg, spec, hyper, folded,
                                      k_eval)
 

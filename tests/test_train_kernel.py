@@ -109,10 +109,10 @@ def test_multi_step_with_decay_exact():
 def test_supported_predicate():
     cfg, tcfg, spec, _, _, _ = make(True)
     assert tk.supported(cfg, tcfg, spec)
-    # depth>=3 DAEs joined the family in round 5 (the deep kernel);
-    # deep VAEs and VMEM-oversized deep shapes still fall back
+    # depth>=3 stacks joined the family in round 5 (the deep kernel),
+    # DAE and VAE both; VMEM-oversized deep shapes still fall back
     assert tk.supported(cfg.replace(layer_sizes=(8, 4, 2)), tcfg, spec)
-    assert not tk.supported(
+    assert tk.supported(
         cfg.replace(layer_sizes=(8, 4, 2), variational=True,
                     tie_weights=False), tcfg, spec)
     assert not tk.supported(
@@ -287,6 +287,42 @@ def test_vae_kernel_runs():
     assert np.isfinite(np.asarray(losses)).all()
     for leaf in jax.tree_util.tree_leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_deep_vae_kernel_runs():
+    """Deep (depth-3) VAE joined the kernel family late in round 5:
+    structure/finiteness on CPU, same harness as the depth-2 VAE test
+    (learning quality + the Pallas/XLA rate gap are hardware-validated,
+    tests_tpu/test_hardware.py)."""
+    cfg, tcfg, spec, X, folded, hyper = make(True, steps=3,
+                                             layer_sizes=(16, 10, 6))
+    cfg = cfg.replace(variational=True).validate()
+    assert tk.supported(cfg, tcfg, spec)
+    params, losses = tk.train_grid_pallas(jax.random.PRNGKey(0), cfg,
+                                          tcfg, spec, hyper, folded,
+                                          num_steps=3)
+    assert params.var_w.shape == (1, 1, 10, 6)
+    assert params.dec_w[0].shape == (1, 1, 6, 10)
+    assert params.enc_w[2].shape == (1, 1, 10, 6)
+    assert np.isfinite(np.asarray(losses)).all()
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_deep_vae_var_head_trains():
+    """The deep VAE's log-sigma head must actually TRAIN: after 3
+    steps wv/bv differ from the same-key init (the KL + reparameterized
+    gradients reach them through the kernel's glv path)."""
+    cfg, tcfg, spec, X, folded, hyper = make(True, steps=3,
+                                             layer_sizes=(16, 10, 6))
+    vae_cfg = cfg.replace(variational=True).validate()
+    pv, _ = tk.train_grid_pallas(jax.random.PRNGKey(0), vae_cfg, tcfg,
+                                 spec, hyper, folded, num_steps=3)
+    k_init, _ = jax.random.split(jax.random.PRNGKey(0))
+    inst_keys = jax.random.split(k_init, 1).reshape(1, 1, 2)
+    p0 = jax.vmap(jax.vmap(lambda k: mmae.init(k, vae_cfg)))(inst_keys)
+    assert not np.allclose(np.asarray(pv.var_w), np.asarray(p0.var_w))
+    assert not np.allclose(np.asarray(pv.var_b), np.asarray(p0.var_b))
 
 
 def test_losses_shape_and_finite():

@@ -76,10 +76,11 @@ def test_kernel_training_reduces_loss(variational):
 
 
 @requires_tpu
-@pytest.mark.parametrize("tied", [True, False])
-def test_deep_kernel_training_reduces_loss(tied):
-    """The depth-3 kernel family (round 5) on real hardware: 400 steps
-    strictly improve the noisy-val objective over the 0-step init."""
+@pytest.mark.parametrize("family", ["tied", "untied", "vae"])
+def test_deep_kernel_training_reduces_loss(family):
+    """The depth-3 kernel family (round 5, VAE included) on real
+    hardware: 400 steps strictly improve the noisy-val objective over
+    the 0-step init."""
     from multimodalautoencoder_tpu.config import MMAEConfig, TrainConfig
     from multimodalautoencoder_tpu.data.modalities import ModalityTable
     from multimodalautoencoder_tpu.models.corruption import NoiseSpec
@@ -89,7 +90,8 @@ def test_deep_kernel_training_reduces_loss(tied):
     table = ModalityTable.uniform(5, 6, names=("call", "location",
                                                "screen", "sms", "survey"))
     cfg = MMAEConfig(num_feats=30, layer_sizes=(20, 12, 6),
-                     tie_weights=tied).validate()
+                     variational=family == "vae",
+                     tie_weights=family == "tied").validate()
     tcfg = TrainConfig(learning_rate=1e-3, batch_size=8, num_steps=400,
                        clip_gradients=False)
     spec = NoiseSpec.build(cfg, table)

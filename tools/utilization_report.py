@@ -55,16 +55,17 @@ XLA_FALLBACK_RECORDED = {
     "xla 3-layer untied 1000x500x100 @1000f": 7_400,
 }
 
-# Deep-kernel (depth>=3 DAE, VMEM-resident) rates, measured 2026-08-20
-# on hardware with the same 12-config x 5-fold x 1500-step harness:
-# the auto-mode rates for in-budget 3-layer shapes (vs the XLA rows
-# above: tied 300x200x100 runs 1.88x the XLA grid trainer).  Names are
-# display labels only — NOT parseable by _cfg_for (which serves the
-# phase-1/XLA dicts); the default report prints these verbatim.
+# Deep-kernel (depth>=3, VMEM-resident) rates, measured 2026-08-20
+# on hardware with the same 12-config x 5-fold x 1500-step harness
+# (now re-runnable via --measure-deep): the auto-mode rates for
+# in-budget 3-layer shapes (vs the XLA rows above: tied 300x200x100
+# runs 1.88x the XLA grid trainer).  The VAE row exercises the deep
+# kernel's reparameterized/KL path (late round 5).
 DEEP_RECORDED_RATES = {
     "deep 3-layer tied 300x200x100 @300f": 200_800,
     "deep 3-layer untied 300x200x100 @300f": 170_000,
     "deep 3-layer tied 500x300x100 @500f": 150_800,
+    "deep 3-layer VAE 300x200x100 @300f": 161_000,
 }
 
 
@@ -77,8 +78,15 @@ def _cfg_for(name: str):
                               layer_sizes=(1000, 500, 100),
                               tie_weights=False,
                               loss="sigmoid_cross_entropy").validate()
+        if "500x300x100" in name:
+            return MMAEConfig(num_feats=500,
+                              layer_sizes=(500, 300, 100),
+                              tie_weights=True,
+                              loss="sigmoid_cross_entropy").validate()
         return MMAEConfig(num_feats=300, layer_sizes=(300, 200, 100),
-                          tie_weights=True,
+                          tie_weights="untied" not in name
+                          and "VAE" not in name,
+                          variational="VAE" in name,
                           loss="sigmoid_cross_entropy").validate()
     if "untied" not in name and "tied 300" in name:
         return MMAEConfig(num_feats=300, layer_sizes=(300, 100),
@@ -329,7 +337,24 @@ def main():
                          "kernel landed, only VMEM-oversized deep "
                          "shapes still take these under 'auto') plus "
                          "one in-family shape, on the attached TPU")
+    ap.add_argument("--measure-deep", action="store_true",
+                    help="measure the deep (depth>=3) kernel family's "
+                         "rates (DEEP_RECORDED_RATES shapes, incl. the "
+                         "VAE row) on the attached TPU")
     args = ap.parse_args()
+
+    if args.measure_deep:
+        from multimodalautoencoder_tpu.config import TrainConfig
+
+        tcfg = TrainConfig(learning_rate=1e-3, batch_size=20,
+                           num_steps=15000, clip_gradients=False,
+                           optimizer_state_dtype="bfloat16")
+        print("| shape (Pallas deep kernel) | inst-steps/s |")
+        print("|---|---|")
+        for name in DEEP_RECORDED_RATES:
+            rate = _measure(name, tcfg)
+            print(f"| {name} | {rate / 1000:.1f}k |", flush=True)
+        return
 
     if args.reconcile_cls:
         _reconcile_cls()
@@ -403,7 +428,8 @@ def main():
     print("|---|---|")
     for name, rate in {**DEEP_RECORDED_RATES,
                        **XLA_FALLBACK_RECORDED}.items():
-        print(f"| {name} | {rate / 1000:.1f}k |")
+        if rate is not None:
+            print(f"| {name} | {rate / 1000:.1f}k |")
 
 
 if __name__ == "__main__":
